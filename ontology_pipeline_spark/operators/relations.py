@@ -1,0 +1,159 @@
+"""Relation scoring stage (S3) — replaces the reference's LLM relationship
+pass M6 (reference src/extractor.py:690-759; 4-pass variant
+src/prompts.py:224-264).
+
+Semantics: deterministic class-pair rules over sentence-level co-occurrence,
+using the reference's own edge vocabulary (edge construction at
+streamlit_app.py:744-760):
+
+    assessment   + construct     -> (assessment,  "measures",    construct)
+    intervention + construct     -> (intervention, "targets",    construct)
+    assessment   + intervention  -> (assessment,  "informs",     intervention)
+    construct    + construct     -> (earlier,     "association", later)
+
+Two physical strategies, same logical result (tested equal):
+
+* `score_relations(mentions)` — a pure DataFrame self-join on
+  (url, sent_id) with `pos_a < pos_b`.  Catalyst plans it; AQE skew-join
+  splits the head-entity partitions.  Use when mentions arrive as a table.
+* `extract_triples_fused(pages, lexicon)` — mention detection + pairing in a
+  SINGLE mapInPandas pass: co-occurrence is sentence-local, so the whole
+  triple extraction is shuffle-free.  This is the 100 TB hot path: one narrow
+  stage from page scan to triple rows; the only shuffles left in the
+  pipeline are the final aggregations.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import TRIPLES
+from .mentions import _compile, scan_text
+
+# unordered class-pair -> (subject_class, predicate)
+PAIR_RULES: dict[frozenset, tuple[str, str]] = {
+    frozenset(["assessment", "construct"]): ("assessment", "measures"),
+    frozenset(["intervention", "construct"]): ("intervention", "targets"),
+    frozenset(["assessment", "intervention"]): ("assessment", "informs"),
+}
+
+
+def _pair_triples(ments: list[tuple]) -> list[tuple]:
+    """Pure pairing over one page's mentions: [(url, sent_id, pos, surface,
+    canonical, class)] -> [(subj, subj_class, pred, obj, obj_class, url)]."""
+    from collections import defaultdict
+
+    by_sent: dict[int, list] = defaultdict(list)
+    for url, sent_id, pos, _surface, canonical, cls in ments:
+        by_sent[sent_id].append((pos, canonical, cls, url))
+    out = []
+    for sent in by_sent.values():
+        sent.sort()
+        for i in range(len(sent)):
+            for j in range(i + 1, len(sent)):
+                pa, ca, cla, url = sent[i]
+                pb, cb, clb, _ = sent[j]
+                if ca == cb and cla == clb:
+                    continue
+                if cla == "construct" and clb == "construct":
+                    out.append((ca, cla, "association", cb, clb, url))
+                    continue
+                rule = PAIR_RULES.get(frozenset([cla, clb]))
+                if rule is None:
+                    continue
+                subj_class, pred = rule
+                if cla == subj_class:
+                    out.append((ca, cla, pred, cb, clb, url))
+                else:
+                    out.append((cb, clb, pred, ca, cla, url))
+    # page-local dedup (order-preserving): the triple sink holds distinct
+    # (subj, pred, obj, url) rows without needing a corpus-wide shuffle
+    return list(dict.fromkeys(out))
+
+
+def score_relations(mentions: DataFrame) -> DataFrame:
+    """Mentions table -> triples via self-join on (url, sent_id), pos_a < pos_b.
+
+    The join keys (url, sent_id) are high-cardinality, so the shuffle is well
+    spread; head-entity skew lives in the *values*, not the keys, and the
+    downstream distinct/groupBy is where AQE skew handling applies.
+    """
+    a = mentions.alias("a")
+    b = mentions.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.url") == F.col("b.url"),
+            F.col("a.sent_id") == F.col("b.sent_id"),
+            F.col("a.pos") < F.col("b.pos"),
+        ],
+    ).filter(
+        ~(
+            (F.col("a.canonical") == F.col("b.canonical"))
+            & (F.col("a.entity_class") == F.col("b.entity_class"))
+        )
+    )
+
+    ca, cb = F.col("a.entity_class"), F.col("b.entity_class")
+    na, nb = F.col("a.canonical"), F.col("b.canonical")
+
+    both_constructs = (ca == "construct") & (cb == "construct")
+
+    def rule(cls1: str, cls2: str) -> F.Column:
+        return ((ca == cls1) & (cb == cls2)) | ((ca == cls2) & (cb == cls1))
+
+    a_is_subj = F.when(both_constructs, F.lit(True)).otherwise(
+        F.when(rule("assessment", "construct"), ca == "assessment")
+        .when(rule("intervention", "construct"), ca == "intervention")
+        .when(rule("assessment", "intervention"), ca == "assessment")
+    )
+    pred = (
+        F.when(both_constructs, F.lit("association"))
+        .when(rule("assessment", "construct"), F.lit("measures"))
+        .when(rule("intervention", "construct"), F.lit("targets"))
+        .when(rule("assessment", "intervention"), F.lit("informs"))
+    )
+    return (
+        pairs.select(
+            F.when(a_is_subj, na).otherwise(nb).alias("subj"),
+            F.when(a_is_subj, ca).otherwise(cb).alias("subj_class"),
+            pred.alias("pred"),
+            F.when(a_is_subj, nb).otherwise(na).alias("obj"),
+            F.when(a_is_subj, cb).otherwise(ca).alias("obj_class"),
+            F.col("a.url").alias("url"),
+        )
+        .filter(F.col("pred").isNotNull())
+    )
+
+
+def extract_triples_fused(
+    pages: DataFrame,
+    lexicon_rows: list[tuple],
+    text_col: str = "text",
+    id_col: str = "url",
+) -> DataFrame:
+    """pages -> triples in one shuffle-free mapInPandas stage (the hot path)."""
+    lex = tuple(tuple(r) for r in lexicon_rows)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pattern, lookup = _compile(lex)
+        cols = ["subj", "subj_class", "pred", "obj", "obj_class", "url"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, text in zip(pdf[id_col], pdf[text_col]):
+                rows.extend(_pair_triples(scan_text(url, text, pattern, lookup)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select(id_col, text_col).mapInPandas(run, schema=TRIPLES)
+
+
+def distinct_triples(triples: DataFrame) -> DataFrame:
+    """Corpus-level distinct (subj, pred, obj) with provenance counts."""
+    return triples.groupBy("subj", "subj_class", "pred", "obj", "obj_class").agg(
+        F.countDistinct("url").alias("n_pages"),
+        F.sort_array(F.collect_set("url")).alias("urls"),
+    )

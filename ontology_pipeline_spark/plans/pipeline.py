@@ -1,0 +1,141 @@
+"""End-to-end KG-construction plan (the engine's EP1 analog; reference
+lifecycle at main.py:282-292 -> src/extractor.py:918-977).
+
+    pages --anti-join lineage--> extract_text -> triples (fused mention+pair)
+      -> append to triples sink (bucketed by subject hash)
+      -> append per-url lineage rows (resume checkpoint)
+
+Resume semantics mirror the reference exactly: `load_existing_results` +
+"skip already-processed files" (src/extractor.py:46-74, :934-935) becomes a
+left_anti join of pages against committed lineage urls; re-running after a
+partial failure recomputes only missing urls and the final triple set is
+identical (tested).
+
+Sink layout (parquet here; Iceberg `writeTo(...).append()` on a real
+cluster — same plan shape):
+    <out>/triples/   bucket=<pmod(xxhash64(subj), n_buckets)>/part-*.parquet
+    <out>/lineage/   run_id=<run>/part-*.parquet
+Bucketing by subject hash co-locates each entity's edges, so downstream
+per-subject aggregations and ego-subgraph joins read few buckets instead of
+the whole table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract_text import extract_text
+from ..operators.relations import distinct_triples, extract_triples_fused
+from ..operators.mentions import detect_mentions
+from ..lexicon import lexicon_rows as default_lexicon_rows
+
+N_SUBJECT_BUCKETS = 32
+
+
+def build_triples(
+    pages: DataFrame,
+    lexicon_rows: list[tuple] | None = None,
+    from_html: bool = True,
+) -> DataFrame:
+    """pages -> per-page triples (shuffle-free fused stage)."""
+    lex = lexicon_rows or default_lexicon_rows()
+    if from_html:
+        pages = extract_text(pages, html_col="html", out_col="text")
+    return extract_triples_fused(pages, lex)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    run_id: str | None = None,
+    lexicon_rows: list[tuple] | None = None,
+    resume: bool = True,
+    from_html: bool = True,
+) -> dict:
+    """Execute one (resumable) batch commit. Returns summary counters,
+    mirroring the reference's corpus summary (src/extractor.py:946-955)."""
+    run_id = run_id or dt.datetime.now(dt.timezone.utc).strftime("run_%Y%m%dT%H%M%S%f")
+    triples_path = os.path.join(out_dir, "triples")
+    lineage_path = os.path.join(out_dir, "lineage")
+
+    pages = spark.read.parquet(pages_path)
+    total_pages = pages.count()
+
+    if resume and _exists(spark, lineage_path):
+        done = spark.read.parquet(lineage_path).select("url").distinct()
+        pages = pages.join(done, "url", "left_anti")
+
+    pages = pages.localCheckpoint(eager=False)
+    new_pages = pages.count()
+    if new_pages == 0:
+        return {
+            "run_id": run_id,
+            "total_pages": total_pages,
+            "new_pages": 0,
+            "new_triples": 0,
+        }
+
+    triples = build_triples(pages, lexicon_rows, from_html=from_html)
+    triples_b = triples.withColumn(
+        "bucket", F.pmod(F.xxhash64("subj"), F.lit(N_SUBJECT_BUCKETS))
+    )
+    triples_b.write.mode("append").partitionBy("bucket").parquet(triples_path)
+
+    # per-url lineage: every new page commits a row even if it emitted no
+    # triples (negative pages must not be reprocessed forever)
+    per_url = (
+        spark.read.parquet(triples_path)
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
+    lineage = (
+        pages.select("url")
+        .join(per_url, "url", "left")
+        .select(
+            "url",
+            F.lit(run_id).alias("run_id"),
+            F.lit(None).cast("long").alias("n_mentions"),
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+            F.lit("ok").alias("status"),
+            F.lit(None).cast("string").alias("error"),
+            F.current_timestamp().alias("committed_ts"),
+        )
+    )
+    lineage.write.mode("append").parquet(lineage_path)
+
+    new_triples = int(
+        spark.read.parquet(lineage_path)
+        .filter(F.col("run_id") == run_id)
+        .agg(F.sum("n_triples"))
+        .first()[0]
+        or 0
+    )
+    return {
+        "run_id": run_id,
+        "total_pages": total_pages,
+        "new_pages": new_pages,
+        "new_triples": new_triples,
+    }
+
+
+def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "triples")).drop("bucket")
+
+
+def corpus_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Distinct corpus-level knowledge graph with provenance."""
+    return distinct_triples(read_triples(spark, out_dir))
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (works for local paths and object stores
+    without the noisy analyzer WARN a speculative read would log)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))

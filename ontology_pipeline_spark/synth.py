@@ -1,0 +1,157 @@
+"""Deterministic synthetic page corpus — golden outputs known by construction.
+
+Mirrors the reference's own test-fixture strategy: its end-to-end test
+creates a deterministic transcript embedding ontology vocabulary in natural
+sentences (reference test_simple.py:18-50).  Here a seeded generator produces
+a Common-Crawl-style `pages` table (schema per BASELINE.json input_hint)
+where every sentence is instantiated from a fixed template bank over the
+ontology lexicon, so the expected mentions and (subj, pred, obj) triples are
+known exactly — the P/R >= 0.95 gate is scored against this golden set.
+
+Skew is built in: a small set of head entities ("Sleep Quality", "Heart Rate
+Variability") appears in a large fraction of pages, exercising AQE skew
+handling and salted aggregation paths exactly as 10^12-doc Common Crawl
+would (a few canonical constructs dominate the co-reference graph — the
+reference's own fixture shows the same shape, e.g. "Breast Cancer Risk"
+appearing in many edges of data/outputs/extraction_results.json).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import random
+from dataclasses import dataclass, field
+
+from .lexicon import ONTOLOGY_VOCAB
+
+# Sentence templates.  Each template lists the entity classes it consumes and
+# the triples it contributes, per the engine's relation rules (see
+# operators/relations.py; rule vocabulary mirrors the reference's edge
+# classes at streamlit_app.py:744-760 and src/extractor.py:718-755).
+TEMPLATES = [
+    # (template, [classes], [(subj_slot, pred, obj_slot)])
+    ("I assess {0} using the {1}.", ["construct", "assessment"],
+     [(1, "measures", 0)]),
+    ("The {0} evaluates {1} in most clients.", ["assessment", "construct"],
+     [(0, "measures", 1)]),
+    ("{0} targets {1}.", ["intervention", "construct"],
+     [(0, "targets", 1)]),
+    ("We prescribe {0} to improve {1}.", ["intervention", "construct"],
+     [(0, "targets", 1)]),
+    ("The {0} informs {1}.", ["assessment", "intervention"],
+     [(0, "informs", 1)]),
+    ("{0} is associated with {1}.", ["construct", "construct"],
+     [(0, "association", 1)]),
+    # mention-only sentences (no cross-class triple rule fires)
+    ("The {0} uses a {1} device and reports {2}.",
+     ["assessment", "technology", "metric"], []),
+    ("My practice centres on {0}.", ["domain"], []),
+]
+
+FILLER = [
+    "The weather was pleasant during the interview.",
+    "We scheduled a follow-up for next month.",
+    "Thanks for taking the time to talk today.",
+    "The clinic recently moved to a new building.",
+    "Records are kept for seven years.",
+]
+
+NON_EN_FILLER = {
+    "de": ["Das Wetter war angenehm.", "Wir sehen uns im April wieder."],
+    "fr": ["Le temps etait agreable.", "Nous nous reverrons en avril."],
+}
+
+HEAD_ENTITIES = ["Sleep Quality", "Heart Rate Variability"]
+
+BOILERPLATE_NAV = "Home | About | Services | Contact"
+BOILERPLATE_FOOTER = "(c) 2025 Example Clinic - Privacy - Terms"
+
+
+@dataclass
+class Corpus:
+    pages: list[tuple]  # (url, warc_ts, html, text, lang)
+    expected_mentions: list[tuple]  # (url, canonical, entity_class)
+    expected_triples: list[tuple]  # (subj, pred, obj, url)
+    text_sha256: dict[str, str] = field(default_factory=dict)
+
+
+def _html_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def wrap_html(title: str, paragraphs: list[str]) -> bytes:
+    """Wrap extracted-text paragraphs in boilerplate the extractor must strip."""
+    body = "".join(f"<p>{_html_escape(p)}</p>" for p in paragraphs)
+    page = (
+        "<html><head><title>"
+        + _html_escape(title)
+        + "</title></head><body>"
+        + f"<nav>{BOILERPLATE_NAV}</nav>"
+        + f"<article>{body}</article>"
+        + f"<footer>{BOILERPLATE_FOOTER}</footer>"
+        + "</body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def generate_corpus(n_pages: int = 500, seed: int = 42) -> Corpus:
+    """Seeded corpus; ~8% non-English negative pages with no ontology content."""
+    rng = random.Random(seed)
+    vocab = {c: [name for name, _, _ in entries] for c, entries in ONTOLOGY_VOCAB.items()}
+    base_ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    pages, mentions, triples = [], [], []
+    hashes: dict[str, str] = {}
+
+    for i in range(n_pages):
+        url = f"https://ex{i % 37}.test/p{i}"
+        ts = base_ts + dt.timedelta(seconds=i * 61)
+        lang = "en"
+        if i % 13 == 12:  # deterministic ~8% negatives
+            lang = "de" if i % 2 == 0 else "fr"
+            sents = [rng.choice(NON_EN_FILLER[lang]) for _ in range(rng.randint(2, 4))]
+            text = "\n".join(sents)
+        else:
+            n_sent = rng.randint(3, 10)
+            sents = []
+            for j in range(n_sent):
+                if rng.random() < 0.25:
+                    sents.append(rng.choice(FILLER))
+                    continue
+                tmpl, classes, triple_slots = rng.choice(TEMPLATES)
+                names = []
+                for k, cls in enumerate(classes):
+                    if cls == "construct" and rng.random() < 0.5:
+                        # head-entity skew
+                        name = rng.choice(HEAD_ENTITIES)
+                    else:
+                        name = rng.choice(vocab[cls])
+                    # avoid self-loops in construct-construct sentences
+                    while cls == "construct" and names and names[-1] == name:
+                        name = rng.choice(vocab["construct"])
+                    names.append(name)
+                sents.append(tmpl.format(*names))
+                for k, cls in enumerate(classes):
+                    mentions.append((url, names[k], cls))
+                for s_slot, pred, o_slot in triple_slots:
+                    triples.append((names[s_slot], pred, names[o_slot], url))
+            text = "\n".join(sents)
+        html = wrap_html(f"Page {i}", text.split("\n"))
+        pages.append((url, ts, html, text, lang))
+        hashes[url] = hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+    return Corpus(pages, expected_mentions=sorted(set(mentions)),
+                  expected_triples=triples, text_sha256=hashes)
+
+
+def pages_df(spark, corpus: Corpus):
+    from .schemas import PAGES
+
+    return spark.createDataFrame(corpus.pages, schema=PAGES)
+
+
+def write_corpus(spark, path: str, n_pages: int = 500, seed: int = 42) -> Corpus:
+    corpus = generate_corpus(n_pages, seed)
+    pages_df(spark, corpus).repartition(32, "url").write.mode("overwrite").parquet(path)
+    return corpus

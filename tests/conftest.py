@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import pytest
+
+from ontology_pipeline_spark.session import get_spark
+from ontology_pipeline_spark.synth import generate_corpus
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", app_name="ops-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    return generate_corpus(n_pages=120, seed=42)
+
+
+@pytest.fixture(scope="session")
+def pages(spark, corpus):
+    from ontology_pipeline_spark.synth import pages_df
+
+    return pages_df(spark, corpus).cache()
