@@ -1,0 +1,272 @@
+"""Deduplication operators — exact and near-duplicate, at corpus scale.
+
+Engine extensions for training-data curation (no analog in the reference,
+whose only dedup is last-wins upsert by file_name, src/extractor.py:76-104).
+
+Scale design notes:
+* exact dedup is a single hash-aggregate on a fingerprint (one shuffle on a
+  uniform key — no skew);
+* near-dup methods all use *blocking* so no O(n^2) pair enumeration ever
+  materializes: MinHash bands (LSH), SimHash prefix buckets, or user blocking
+  keys for the token-Jaccard variant;
+* everything below is built-in expressions + joins; MinHash signatures are
+  computed with `transform`/`aggregate` over token arrays (JVM-side), not
+  Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_analysis import fingerprint, simhash, tokens
+
+# Mersenne prime 2^31-1 for the MinHash universal-hash family: with
+# h, a, b < p the product h*a stays below 2^62, inside int64 (Spark ANSI
+# arithmetic overflows loudly otherwise).
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative per exact (normalized) text: min id wins
+    (deterministic).  One shuffle on the fingerprint."""
+    fp = fingerprint(F.col(text_col)).alias("_fp")
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    return (
+        documents.select("*", fp)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_fp", "_rk")
+    )
+
+
+def exact_dup_groups(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fingerprint groups with >1 member: (fp, n_docs, min_doc_id)."""
+    return (
+        documents.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _word_shingles(text_col, n: int = 3):
+    """Word n-gram shingle array (distinct), built with JVM expressions."""
+    toks = tokens(F.lower(text_col))
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _t, i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+            lambda s: F.size(F.split(s, " ")) == n,
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup candidate pairs by token/shingle-set Jaccard within blocks.
+
+    Blocking keys (e.g. (lang, source)) bound the quadratic pair space; the
+    join is a shuffle on the block key and AQE splits skewed blocks.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded(6).
+    """
+    sh = documents.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        _word_shingles(F.col(text_col), n).alias("_sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
+        F.col("a._id") < F.col("b._id")
+    ]
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.size(F.col("a._sh")) + F.size(F.col("b._sh")) - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: for hash i, min over shingles of
+    ((a_i * xxhash64(shingle) + b_i) mod p).  All JVM expressions."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    sh = _word_shingles(F.col(text_col), shingle_n)
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)),
+                )
+            )
+            for a, b in coeffs
+        ]
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(sh) > 0, sig).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs: shingle -> minhash -> band ->
+    bucket-join.  Pair space is bounded by band-bucket collisions, never n^2.
+
+    Returns distinct (id_a, id_b, est_jaccard) where est_jaccard is the
+    signature-agreement fraction (unbiased Jaccard estimate).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_n, seed).filter(
+        F.col("signature").isNotNull()
+    )
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(
+                            F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    )
+
+
+def simhash_buckets(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """SimHash near-dup candidates: documents sharing a signature prefix
+    bucket.  Returns (bucket, n_docs, doc_ids sorted) for buckets with >1."""
+    sh = simhash(F.col(text_col), bits).alias("simhash")
+    bucket = F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits).alias("bucket")
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), sh)
+        .select("doc_id", "simhash", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, within optional blocks.
+
+    Brute force within blocks (or a broadcastable full table); for web scale
+    use `similarity.lsh_ann` buckets as the blocking key instead.
+    """
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cond = [F.col("a._id") < F.col("b._id")]
+    if block_col:
+        cond.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (norm(F.col("a._v")) * norm(F.col("b._v")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,69 @@
+"""Dedup operators: exact, Jaccard, MinHash-LSH, SimHash, embedding cosine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ontology_pipeline_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en", "a"),
+    (1, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG", "en", "a"),  # exact dup of 0 (normalized)
+    (2, "the quick brown fox jumps over the lazy cat", "en", "a"),  # near dup of 0
+    (3, "completely different text about spark engines", "en", "a"),
+    (4, "unrelated words describing quantum computing topics", "en", "b"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang", "source"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark))
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {0, 2, 3, 4}
+    groups = exact_dup_groups(_docs(spark)).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2 and groups[0]["min_doc_id"] == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(
+        _docs(spark), block_cols=["lang", "source"], n=1, threshold=0.7
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # identical token sets
+    assert (0, 2) in got  # 8/10 shared tokens -> 0.8
+    assert all(p in {(0, 1), (0, 2), (1, 2)} for p in got)
+
+
+def test_minhash_lsh_finds_near_dups_without_n2(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), num_hashes=32, bands=16, shingle_n=1)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got and got[(0, 2)] >= 0.5
+    assert (3, 4) not in got
+
+
+def test_simhash_buckets_group_near_dups(spark):
+    out = simhash_buckets(_docs(spark), prefix_bits=8).collect()
+    buckets = {tuple(r["doc_ids"]) for r in out}
+    assert any({0, 1} <= set(b) for b in buckets)
+
+
+def test_embedding_cosine_pairs(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(df, threshold=0.99).collect()}
+    assert got == {(0, 1)}

@@ -1,0 +1,29 @@
+"""Lenient JSON document parsing (reference safe_json_parse +
+clean_response_text, src/extractor.py:120-155) and last-wins upsert
+(merge_results, src/extractor.py:76-104)."""
+
+from __future__ import annotations
+
+from ontology_pipeline_spark.operators.docs import parse_extraction_docs, upsert_last_wins
+
+
+def test_parse_handles_fences_prefix_and_garbage(spark):
+    rows = [
+        ("u1", '{"constructs_identified": 2, "text_length": 10}'),
+        ("u2", 'Here is the JSON:\n```json\n{"constructs_identified": 3}\n```'),
+        ("u3", "not json at all"),
+        ("u4", '{"broken": '),
+    ]
+    df = spark.createDataFrame(rows, ["url", "raw_json"])
+    out = {r["url"]: r for r in parse_extraction_docs(df).collect()}
+    assert out["u1"]["constructs_identified"] == 2 and out["u1"]["error"] is None
+    assert out["u2"]["constructs_identified"] == 3 and out["u2"]["error"] is None
+    assert out["u3"]["error"] == "JSON parsing failed"
+    assert out["u4"]["error"] == "JSON parsing failed"
+
+
+def test_upsert_last_wins(spark):
+    old = spark.createDataFrame([("u1", 1, "old"), ("u2", 1, "keep")], ["url", "run", "val"])
+    new = spark.createDataFrame([("u1", 2, "new")], ["url", "run", "val"])
+    out = {r["url"]: r["val"] for r in upsert_last_wins(old, new, "url", "run").collect()}
+    assert out == {"u1": "new", "u2": "keep"}

@@ -1,0 +1,79 @@
+"""Entity linking: exact fast path, LSH fuzzy fallback, canonicalization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ontology_pipeline_spark.lexicon import lexicon_df
+from ontology_pipeline_spark.operators.canonicalize import (
+    canonical_mapping,
+    connected_components,
+)
+from ontology_pipeline_spark.operators.linking import link_entities, link_exact
+
+
+def test_exact_fast_path(spark):
+    lex = lexicon_df(spark)
+    surfaces = spark.createDataFrame(
+        [("sleep quality",), ("CMJ",), ("unknown thing",)], ["surface"]
+    )
+    out = {r["surface"]: (r["linked_canonical"], r["linked_class"]) for r in link_exact(surfaces, lex).collect()}
+    assert out["sleep quality"] == ("Sleep Quality", "construct")
+    assert out["CMJ"] == ("Countermovement Jump", "assessment")
+    assert out["unknown thing"] == (None, None)
+
+
+def test_fuzzy_fallback_links_typos(spark):
+    lex = lexicon_df(spark)
+    surfaces = spark.createDataFrame(
+        [
+            ("Sleep Qualityy",),      # typo -> Sleep Quality
+            ("Heart Rate Variabilty",),  # typo -> Heart Rate Variability
+            ("zzzzqqq",),             # garbage -> unlinked
+        ],
+        ["surface"],
+    )
+    rows = {r["surface"]: r for r in link_entities(surfaces, lex).collect()}
+    assert rows["Sleep Qualityy"]["linked_canonical"] == "Sleep Quality"
+    assert rows["Sleep Qualityy"]["link_method"] == "lsh"
+    assert rows["Heart Rate Variabilty"]["linked_canonical"] == "Heart Rate Variability"
+    assert rows["zzzzqqq"]["linked_canonical"] is None
+
+
+def test_exact_never_overridden(spark):
+    lex = lexicon_df(spark)
+    surfaces = spark.createDataFrame([("VO2max Test",)], ["surface"])
+    row = link_entities(surfaces, lex).collect()[0]
+    assert row["linked_canonical"] == "VO2 Max Test"
+    assert row["link_method"] == "exact"
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], ["src", "dst"]
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"
+    assert cc["x"] == cc["y"] == "x"
+    assert cc["p"] == "p"
+
+
+def test_canonical_mapping_transitive_aliases(spark):
+    # A~B exact, B~C fuzzy => one canonical id for all three
+    pairs = spark.createDataFrame(
+        [("HRV ms", "HRV"), ("HRV", "Heart Rate Var"), ("CMJ", "Countermovement Jump")],
+        ["surface", "linked_canonical"],
+    )
+    m = {r["name"]: r["canonical_id"] for r in canonical_mapping(pairs).collect()}
+    assert m["HRV ms"] == m["HRV"] == m["Heart Rate Var"]
+    assert m["CMJ"] == m["Countermovement Jump"]
+    assert m["CMJ"] != m["HRV"]
+
+
+def test_cc_chain_converges(spark):
+    # long path graph exercises multi-round label propagation
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(15)], ["src", "dst"]
+    )
+    cc = connected_components(edges, max_iter=30)
+    assert cc.select("component").distinct().count() == 1

@@ -1,0 +1,59 @@
+"""Similarity search: brute-force cosine top-k and LSH-bucketed ANN."""
+
+from __future__ import annotations
+
+import math
+
+from ontology_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    with_lsh_bucket,
+    hyperplanes,
+)
+
+
+def _embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _query(spark):
+    row = _embeddings(spark).filter("vec_id = 0").collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def test_cosine_topk_exact(spark):
+    emb = _embeddings(spark)
+    q = _query(spark)
+    top = cosine_topk(emb, q, k=5).collect()
+    # the query vector itself is rank 1 with cosine 1.0
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-6
+    scores = [r["cosine"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+    # cross-check rank-2 against a local numpy computation
+    import numpy as np
+
+    pdf = emb.toPandas()
+    m = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype("float64")
+    qv = np.asarray(q)
+    cos = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+    best = pdf["vec_id"].to_numpy()[np.argsort(-cos)][:5]
+    assert [r["vec_id"] for r in top] == list(best)
+
+
+def test_lsh_ann_recall(spark):
+    emb = _embeddings(spark)
+    q = _query(spark)
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    ann = [r["vec_id"] for r in lsh_ann_topk(emb, q, k=10, n_planes=8, max_hamming=2).collect()]
+    # approximate: expect decent overlap incl. the query itself
+    assert ann[0] == 0
+    assert len(set(exact) & set(ann)) >= 5
+
+
+def test_lsh_bucket_prunes(spark):
+    emb = _embeddings(spark)
+    planes = hyperplanes(64, n_planes=8, seed=42)
+    bucketed = with_lsh_bucket(emb, planes)
+    n_buckets = bucketed.select("bucket").distinct().count()
+    assert n_buckets > 10  # spread across many buckets => real pruning
