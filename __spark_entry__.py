@@ -1,38 +1,658 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator inventory (SURVEY.md §2) over the
+driver's parquet tables; `oracle_sql()` gives the DuckDB-equivalent ANSI SQL
+for every SQL-expressible query (same column names/aliases both sides).
+
+Cross-engine float determinism conventions used throughout:
+* money/value sums go through DECIMAL(38,6) (exact) and are rounded to 2
+  digits after a cast to double — identical in Spark and DuckDB;
+* per-row double expressions (cosine, jaccard, quality) use the same
+  operation order in both engines and are rounded to 6 digits;
+* cross-row double SUM/AVG is avoided in oracle-checked queries (summation
+  order differs between engines); min/max/count are order-insensitive.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from ontology_pipeline_spark.lexicon import lexicon_rows, simple_lexicon
+from ontology_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from ontology_pipeline_spark.operators.graph import ego_edges
+from ontology_pipeline_spark.operators.mentions import detect_mentions
+from ontology_pipeline_spark.operators.relations import extract_triples_fused
+from ontology_pipeline_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from ontology_pipeline_spark.operators.text_analysis import (
+    fingerprint,
+    quality_score,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# demo lexicon over the `documents` table vocabulary (the health-ontology
+# lexicon drives the KG pipeline on synthetic pages; this one parameterizes
+# the same mention/relation operators over the driver's corpus)
+# ---------------------------------------------------------------------------
+DEMO_TERMS: dict[str, list[str]] = {
+    "operator": ["join", "filter", "scan", "sort", "merge", "window", "agg", "hash", "group"],
+    "noun": ["table", "row", "column", "stream", "batch", "query", "data", "spark", "vector", "key"],
+}
+DEMO_LEXICON = simple_lexicon(DEMO_TERMS)
+
+_QUERY_VEC_ID = 0  # embeddings row used as the similarity-search query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Decimal widths chosen so every product stays within DECIMAL(38,_) in BOTH
+# engines (Spark and DuckDB apply different precision-overflow rules above 38,
+# so staying under the cap keeps the arithmetic exact and identical):
+# price(18,4) * rate(9,6) * rate(9,6) -> scale 16, width 38.
+def _dec_price(col):
+    return col.cast("decimal(18,4)")
+
+
+def _dec_rate(col):
+    return col.cast("decimal(8,6)")
+
+
+def _one_rate():
+    return F.lit(1).cast("decimal(8,6)")
+
+
+def _money(col):
+    """Exact decimal aggregate -> stable double with 2 digits."""
+    return F.round(F.sum(_dec_price(col)).cast("double"), 2)
+
+
+def _doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return detect_mentions(docs, DEMO_LEXICON)
+
+
+def _cooccurrence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level co-occurrence edges over the demo lexicon, triple-shaped:
+    (subj < obj alphabetically, pred='cooccurs')."""
+    m = (
+        _doc_mentions(spark, sf_dir)
+        .select("url", "canonical", "entity_class")
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            [F.col("a.url") == F.col("b.url"), F.col("a.canonical") < F.col("b.canonical")],
+        )
+        .select(
+            F.col("a.canonical").alias("subj"),
+            F.col("a.entity_class").alias("subj_class"),
+            F.lit("cooccurs").alias("pred"),
+            F.col("b.canonical").alias("obj"),
+            F.col("b.entity_class").alias("obj_class"),
+            F.col("a.url").alias("url"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction over the sf0.001 corpus — mention detection
+    (mapInPandas over broadcast lexicon) -> co-occurrence relation scoring ->
+    distinct triple rollup with provenance counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    tri = _cooccurrence_triples(spark, sf_dir)
+    return tri.groupBy("subj", "subj_class", "pred", "obj", "obj_class").agg(
+        F.countDistinct("url").alias("n_docs")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- relational core (reference ops F/A/J/O/U, SURVEY.md §2.2/2.5-2.8)
+
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+        disc = _dec_price(F.col("l_extendedprice")) * (_one_rate() - _dec_rate(F.col("l_discount")))
+        charge = disc * (_one_rate() + _dec_rate(F.col("l_tax")))
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum(_dec_price(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+                _money(F.col("l_extendedprice")).alias("sum_base_price"),
+                F.round(F.sum(disc).cast("double"), 2).alias("sum_disc_price"),
+                F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def top10_orders_by_revenue(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        rev = _dec_price(F.col("l_extendedprice")) * (_one_rate() - _dec_rate(F.col("l_discount")))
+        return (
+            li.groupBy("l_orderkey")
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+            .limit(10)
+        )
+
+    q["top10_orders_by_revenue"] = top10_orders_by_revenue
+
+    def revenue_by_nation(spark, sf):
+        li, o, c, n = (
+            _t(spark, sf, "lineitem"),
+            _t(spark, sf, "orders"),
+            _t(spark, sf, "customer"),
+            _t(spark, sf, "nation"),
+        )
+        rev = _dec_price(F.col("l_extendedprice")) * (_one_rate() - _dec_rate(F.col("l_discount")))
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+            )
+        )
+
+    q["revenue_by_nation"] = revenue_by_nation
+
+    def customers_without_orders(spark, sf):
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+
+    q["customers_without_orders"] = customers_without_orders
+
+    def latest_event_per_user(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            e.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("user_id", "event_id", "event_type", "value")
+        )
+
+    q["latest_event_per_user"] = latest_event_per_user
+
+    def events_hourly(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.col("event_type"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_dec_price(F.col("value"))).cast("double"), 2).alias("sum_value"),
+        )
+
+    q["events_hourly"] = events_hourly
+
+    def events_by_type(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_dec_price(F.col("value"))).cast("double"), 2).alias("sum_value"),
+            F.sum(F.get_json_object(F.col("props"), "$.k").cast("long")).alias("sum_k"),
+        )
+
+    q["events_by_type"] = events_by_type
+
+    def point_lookup_order(spark, sf):
+        return _t(spark, sf, "orders").filter(F.col("o_orderkey") == 100).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"
+        )
+
+    q["point_lookup_order"] = point_lookup_order
+
+    # ---- text / document operators (F6/F9/P4-P6, text_analysis, dedup)
+
+    def doc_truncate_project(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.substring(F.col("text"), 1, 100).alias("prefix_100"),
+            F.length(F.col("text")).alias("text_len"),
+            F.lower(F.substring(F.col("text"), 1, 10)).alias("head_lc"),
+        )
+
+    q["doc_truncate_project"] = doc_truncate_project
+
+    def keyword_scan_docs(spark, sf):
+        d = _t(spark, sf, "documents")
+        hit = F.lower(F.col("text")).contains("spark") & F.lower(F.col("text")).contains("join")
+        return d.filter(hit).groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    q["keyword_scan_docs"] = keyword_scan_docs
+
+    def doc_mentions(spark, sf):
+        m = _doc_mentions(spark, sf)
+        return m.groupBy(
+            F.col("canonical").alias("term"), F.col("entity_class")
+        ).agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+
+    q["doc_mentions"] = doc_mentions
+
+    def doc_cooccurrence_edges(spark, sf):
+        tri = _cooccurrence_triples(spark, sf)
+        return tri.groupBy("subj", "obj").agg(F.countDistinct("url").alias("n_docs"))
+
+    q["doc_cooccurrence_edges"] = doc_cooccurrence_edges
+
+    def ego_1hop_join(spark, sf):
+        tri = _cooccurrence_triples(spark, sf).select(
+            "subj", "subj_class", "pred", "obj", "obj_class", "url"
+        )
+        edges = tri.groupBy("subj", "subj_class", "pred", "obj", "obj_class").agg(
+            F.countDistinct("url").alias("n_docs")
+        ).withColumn("url", F.lit("corpus"))
+        ego = ego_edges(edges, "join", hops=1)
+        return ego.select("subj", "obj", "n_docs")
+
+    q["ego_1hop_join"] = ego_1hop_join
+
+    def entity_rollup_langs(spark, sf):
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("url"), "text", "lang"
+        )
+        m = detect_mentions(docs, DEMO_LEXICON).select("url", "canonical").distinct()
+        joined = m.join(docs.select("url", "lang"), "url")
+        return joined.groupBy(F.col("canonical").alias("term")).agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_set("lang")), "|").alias("langs"),
+        )
+
+    q["entity_rollup_langs"] = entity_rollup_langs
+
+    def fingerprint_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(fingerprint(F.col("text"))).alias("n_distinct_fp"),
+        )
+
+    q["fingerprint_stats"] = fingerprint_stats
+
+    def near_dup_jaccard(spark, sf):
+        return ngram_jaccard_pairs(
+            _t(spark, sf, "documents"),
+            block_cols=["lang", "source"],
+            n=1,
+            threshold=0.8,
+        )
+
+    q["near_dup_jaccard"] = near_dup_jaccard
+
+    def doc_quality_minmax(spark, sf):
+        d = _t(spark, sf, "documents")
+        qcol = quality_score(F.col("text"))
+        return d.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(qcol).alias("min_quality"),
+            F.max(qcol).alias("max_quality"),
+        )
+
+    q["doc_quality_minmax"] = doc_quality_minmax
+
+    def top_tokens(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.col("token"))
+            .limit(20)
+        )
+
+    q["top_tokens"] = top_tokens
+
+    # ---- embeddings / similarity search
+
+    def cosine_topk_q0(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["embedding"]
+        ]
+        return cosine_topk(emb, qv, k=20)
+
+    q["cosine_topk_q0"] = cosine_topk_q0
+
+    def embedding_minmax_by_label(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        v = F.col("embedding").cast("array<double>")
+        norm = F.round(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)), 6
+        )
+        return emb.select("label", norm.alias("nrm")).groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+
+    q["embedding_minmax_by_label"] = embedding_minmax_by_label
+
+    # ---- non-SQL-expressible ops (rows-only driver check)
+
+    def minhash_near_dups(spark, sf):
+        # 8 rows per band: collision probability J^8, so the candidate set
+        # stays sparse even on this small-vocabulary corpus
+        return minhash_lsh_pairs(
+            _t(spark, sf, "documents"), num_hashes=32, bands=4, shingle_n=2
+        ).filter(F.col("est_jaccard") >= 0.8)
+
+    q["minhash_near_dups"] = minhash_near_dups
+
+    def simhash_bucket_groups(spark, sf):
+        return simhash_buckets(_t(spark, sf, "documents"), prefix_bits=10).select(
+            "bucket", "n_docs"
+        )
+
+    q["simhash_bucket_groups"] = simhash_bucket_groups
+
+    def ann_topk_q0(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["embedding"]
+        ]
+        return lsh_ann_topk(emb, qv, k=10, n_planes=8, max_hamming=2)
+
+    q["ann_topk_q0"] = ann_topk_q0
+
+    def kg_triples_synthetic(spark, sf):
+        from ontology_pipeline_spark.synth import generate_corpus, pages_df
+
+        corpus = generate_corpus(n_pages=200, seed=13)
+        tri = extract_triples_fused(pages_df(spark, corpus), lexicon_rows())
+        return tri.groupBy("subj", "subj_class", "pred", "obj", "obj_class").agg(
+            F.countDistinct("url").alias("n_pages")
+        )
+
+    q["kg_triples_synthetic"] = kg_triples_synthetic
+
+    def canonical_components(spark, sf):
+        from ontology_pipeline_spark.lexicon import lexicon_df
+        from ontology_pipeline_spark.operators.canonicalize import canonical_mapping
+
+        lex = lexicon_df(spark)
+        pairs = lex.select(
+            F.col("alias").alias("surface"),
+            F.col("canonical_name").alias("linked_canonical"),
+        )
+        return canonical_mapping(pairs)
+
+    q["canonical_components"] = canonical_components
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same aliases, same float conventions)
+# ---------------------------------------------------------------------------
+
+_LEX_VALUES = ", ".join(
+    f"('{alias}', '{cls}')" for cls, _canon, alias, _p, _u in DEMO_LEXICON
+)
+
+# Mention counting over the documents corpus reduces to exact-token equality
+# (the corpus is space-separated lowercase words), which both engines express
+# identically — RE2 in DuckDB lacks the lookaround word boundaries the Spark
+# scanner uses, so the oracle counts tokens instead.
+_HITS_CTE = rf"""
+lex(term, entity_class) AS (VALUES {_LEX_VALUES}),
+tokall AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tok
+    FROM documents
+),
+hits AS (
+    SELECT t.doc_id, l.term, l.entity_class,
+           len(list_filter(t.tok, x -> x = l.term)) AS n
+    FROM tokall t CROSS JOIN lex l
+)
+"""
+
+_TOKS_CTE = r"""
+toks AS (
+    SELECT doc_id, lang, source,
+           list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+    FROM documents
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+               round(cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+               round(cast(sum(cast(l_extendedprice AS DECIMAL(20,4)) * (cast(1 AS DECIMAL(8,6)) - cast(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 2) AS sum_disc_price,
+               round(cast(sum(cast(l_extendedprice AS DECIMAL(20,4)) * ((cast(1 AS DECIMAL(8,6)) - cast(l_discount AS DECIMAL(8,6))) * (cast(1 AS DECIMAL(8,6)) + cast(l_tax AS DECIMAL(8,6))))) AS DOUBLE), 2) AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["top10_orders_by_revenue"] = """
+        SELECT l_orderkey,
+               round(cast(sum(cast(l_extendedprice AS DECIMAL(18,4)) * (cast(1 AS DECIMAL(8,6)) - cast(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+
+    o["revenue_by_nation"] = """
+        SELECT n.n_name,
+               round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,4)) * (cast(1 AS DECIMAL(8,6)) - cast(l.l_discount AS DECIMAL(8,6)))) AS DOUBLE), 2) AS revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """
+
+    o["customers_without_orders"] = """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+    o["latest_event_per_user"] = """
+        SELECT user_id, event_id, event_type, value
+        FROM (
+            SELECT user_id, event_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+            FROM events
+        )
+        WHERE rk = 1
+    """
+
+    o["events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               count(*) AS n_events,
+               round(cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """
+
+    o["events_by_type"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+               sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events
+        GROUP BY event_type
+    """
+
+    o["point_lookup_order"] = """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey = 100
+    """
+
+    o["doc_truncate_project"] = """
+        SELECT doc_id,
+               substring(text, 1, 100) AS prefix_100,
+               length(text) AS text_len,
+               lower(substring(text, 1, 10)) AS head_lc
+        FROM documents
+    """
+
+    o["keyword_scan_docs"] = """
+        SELECT lang, count(*) AS n_docs
+        FROM documents
+        WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
+        GROUP BY lang
+    """
+
+    o["doc_mentions"] = f"""
+        WITH {_HITS_CTE}
+        SELECT term, entity_class,
+               count(*) FILTER (WHERE n > 0) AS n_docs,
+               sum(n) FILTER (WHERE n > 0) AS n_mentions
+        FROM hits
+        GROUP BY term, entity_class
+        HAVING count(*) FILTER (WHERE n > 0) > 0
+    """
+
+    o["doc_cooccurrence_edges"] = f"""
+        WITH {_HITS_CTE}
+        SELECT a.term AS subj, b.term AS obj, count(*) AS n_docs
+        FROM hits a JOIN hits b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        WHERE a.n > 0 AND b.n > 0
+        GROUP BY a.term, b.term
+    """
+
+    o["ego_1hop_join"] = f"""
+        WITH {_HITS_CTE},
+        edges AS (
+            SELECT a.term AS subj, b.term AS obj, count(*) AS n_docs
+            FROM hits a JOIN hits b
+              ON a.doc_id = b.doc_id AND a.term < b.term
+            WHERE a.n > 0 AND b.n > 0
+            GROUP BY a.term, b.term
+        ),
+        nb AS (
+            SELECT 'join' AS name
+            UNION SELECT obj FROM edges WHERE subj = 'join'
+            UNION SELECT subj FROM edges WHERE obj = 'join'
+        )
+        SELECT e.subj, e.obj, e.n_docs
+        FROM edges e
+        WHERE e.subj IN (SELECT name FROM nb) AND e.obj IN (SELECT name FROM nb)
+    """
+
+    o["entity_rollup_langs"] = f"""
+        WITH {_HITS_CTE}
+        SELECT h.term,
+               count(DISTINCT h.doc_id) AS n_docs,
+               string_agg(DISTINCT d.lang, '|' ORDER BY d.lang) AS langs
+        FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+        WHERE h.n > 0
+        GROUP BY h.term
+    """
+
+    o["fingerprint_stats"] = r"""
+        SELECT lang, count(*) AS n_docs,
+               count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_distinct_fp
+        FROM documents
+        GROUP BY lang
+    """
+
+    o["near_dup_jaccard"] = f"""
+        WITH {_TOKS_CTE}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(cast(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                     / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE round(cast(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                    / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 6) >= 0.8
+    """
+
+    o["doc_quality_minmax"] = r"""
+        WITH scored AS (
+            SELECT lang,
+                   round(greatest(0.0, least(1.0,
+                       0.4 * least(length(text) / 500.0, 1.0)
+                       + 0.5 * (CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0
+                                THEN cast(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS DOUBLE)
+                                     / len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))
+                                ELSE 0.0 END)
+                       - 0.5 * (CASE WHEN length(text) > 0
+                                THEN cast(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)
+                                ELSE 0.0 END)
+                       + 0.1)), 6) AS quality
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               min(quality) AS min_quality, max(quality) AS max_quality
+        FROM scored
+        GROUP BY lang
+    """
+
+    o["top_tokens"] = r"""
+        SELECT token, count(*) AS n
+        FROM (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+            FROM documents
+        )
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
+    """
+
+    o["cosine_topk_q0"] = f"""
+        WITH q AS (
+            SELECT cast(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+        )
+        SELECT e.vec_id,
+               round(list_dot_product(cast(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(cast(e.embedding AS DOUBLE[]), cast(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT 20
+    """
+
+    o["embedding_minmax_by_label"] = """
+        WITH norms AS (
+            SELECT label,
+                   round(sqrt(list_dot_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))), 6) AS nrm
+            FROM embeddings
+        )
+        SELECT label, count(*) AS n_vecs, min(nrm) AS min_norm, max(nrm) AS max_norm
+        FROM norms
+        GROUP BY label
+    """
+
+    return o

@@ -1,0 +1,109 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] plus the flagship KG-construction pipeline on a
+seeded synthetic page corpus, and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "triples_per_sec": N}
+
+The synthetic corpus is generated once and cached under .bench_data/ (pages
+parquet keyed by size+seed) so repeated runs measure the engine, not the
+generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+SEED = 42
+
+
+def corpus_path(repo_root: str, n_pages: int, seed: int) -> str:
+    return os.path.join(repo_root, ".bench_data", f"pages_n{n_pages}_s{seed}")
+
+
+def ensure_corpus(spark, path: str, n_pages: int, seed: int) -> None:
+    from ontology_pipeline_spark.plans.pipeline import _exists
+    from ontology_pipeline_spark.synth import write_corpus
+
+    if not _exists(spark, path):
+        write_corpus(spark, path, n_pages=n_pages, seed=seed)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+
+    import __spark_entry__ as entrymod
+    from ontology_pipeline_spark.lexicon import lexicon_rows
+    from ontology_pipeline_spark.plans.pipeline import build_triples
+    from ontology_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cpus}]", app_name="bench", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_pq = corpus_path(repo_root, BENCH_PAGES, SEED)
+    ensure_corpus(spark, pages_pq, BENCH_PAGES, SEED)
+
+    headline = [
+        "q1_pricing_summary",
+        "revenue_by_nation",
+        "top10_orders_by_revenue",
+        "latest_event_per_user",
+        "events_hourly",
+        "doc_mentions",
+        "doc_cooccurrence_edges",
+        "near_dup_jaccard",
+        "minhash_near_dups",
+        "top_tokens",
+        "cosine_topk_q0",
+        "doc_quality_minmax",
+    ]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # flagship KG pipeline: pages -> extract_text -> fused mention+relation
+    # triples (the BASELINE.json metric is triples/sec)
+    pages = spark.read.parquet(pages_pq)
+    t0 = time.perf_counter()
+    n_triples = build_triples(pages, lexicon_rows(), from_html=True).count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline_synthetic"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_kg_pipeline_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_dir.rstrip("/").split("sf")[-1]),
+                "kg_pages": BENCH_PAGES,
+                "kg_triples": int(n_triples),
+                "triples_per_sec": round(n_triples / kg_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

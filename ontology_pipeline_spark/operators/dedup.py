@@ -157,12 +157,21 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_n, seed).filter(
-        F.col("signature").isNotNull()
+    # spread the CPU-heavy signature computation (small corpora often arrive
+    # as a single parquet split) and materialize it once: it feeds the band
+    # explode AND the final agreement join, and recomputing the minhash
+    # expression tree per consumer is the dominant cost otherwise
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par)
+    sigs = (
+        minhash_signatures(documents, text_col, id_col, num_hashes, shingle_n, seed)
+        .filter(F.col("signature").isNotNull())
+        .localCheckpoint(eager=True)
     )
+    # slim band table (no signatures) so the collision join shuffles only ids
     banded = sigs.select(
         "doc_id",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -176,7 +185,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -189,14 +198,14 @@ def minhash_lsh_pairs(
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # attach signatures after pair dedup (signature table is small relative to
+    # the corpus text; broadcast when it fits)
+    sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
+    cand = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
