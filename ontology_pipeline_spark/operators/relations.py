@@ -151,9 +151,51 @@ def extract_triples_fused(
     return pages.select(id_col, text_col).mapInPandas(run, schema=TRIPLES)
 
 
-def distinct_triples(triples: DataFrame) -> DataFrame:
-    """Corpus-level distinct (subj, pred, obj) with provenance counts."""
-    return triples.groupBy("subj", "subj_class", "pred", "obj", "obj_class").agg(
+def extract_triples_from_html(
+    pages: DataFrame,
+    lexicon_rows: list[tuple],
+    html_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """pages(html) -> triples in ONE Python stage: HTML->text (same pure
+    function as the extract_text stage, so the byte-identity invariant is
+    preserved) + mention scan + pairing, all inside a single mapInPandas.
+
+    One Arrow round-trip instead of two (pandas-UDF text extraction followed
+    by a second mapInPandas) — at 100 TB this halves the JVM<->Python worker
+    transfer on the hot path and keeps the whole extraction narrow.
+    """
+    from .extract_text import extract_text_bytes
+
+    lex = tuple(tuple(r) for r in lexicon_rows)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pattern, lookup = _compile(lex)
+        cols = ["subj", "subj_class", "pred", "obj", "obj_class", "url"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, html in zip(pdf[id_col], pdf[html_col]):
+                text = extract_text_bytes(html)
+                rows.extend(_pair_triples(scan_text(url, text, pattern, lookup)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select(id_col, html_col).mapInPandas(run, schema=TRIPLES)
+
+
+def distinct_triples(triples: DataFrame, with_url_list: bool = False) -> DataFrame:
+    """Corpus-level distinct (subj, pred, obj) with provenance counts.
+
+    Skew note: head entities ("Sleep Quality"-class nodes) concentrate a huge
+    fraction of rows on a few group keys.  countDistinct partial-aggregates
+    map-side, so the skewed key ships pre-combined counts, not url strings;
+    the full provenance list (`with_url_list=True`, reference `files` lists at
+    streamlit_app.py:103) is only materialized for small corpora — at web
+    scale provenance stays as rows in the triple table.
+    """
+    aggs = [
         F.countDistinct("url").alias("n_pages"),
-        F.sort_array(F.collect_set("url")).alias("urls"),
-    )
+        F.min("url").alias("first_url"),
+    ]
+    if with_url_list:
+        aggs.append(F.sort_array(F.collect_set("url")).alias("urls"))
+    return triples.groupBy("subj", "subj_class", "pred", "obj", "obj_class").agg(*aggs)

@@ -105,6 +105,8 @@ def lsh_ann_topk(
 
     Approximate: recall < 1 by design; the candidate set shrinks the scan by
     ~2^n_planes / (multi-probe count)."""
+    from itertools import combinations
+
     planes = hyperplanes(len(query_vec), n_planes, seed)
     qbits = 0
     for i, p in enumerate(planes):
@@ -112,8 +114,12 @@ def lsh_ann_topk(
         if d >= 0:
             qbits |= 1 << i
     probe = [qbits]
-    if max_hamming >= 1:
-        probe += [qbits ^ (1 << i) for i in range(n_planes)]
+    for h in range(1, max_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe.append(qbits ^ flip)
 
     bucketed = with_lsh_bucket(embeddings, planes, vec_col)
     cands = bucketed.filter(F.col("bucket").isin(probe))

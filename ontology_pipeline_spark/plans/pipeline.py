@@ -28,9 +28,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract_text import extract_text
-from ..operators.relations import distinct_triples, extract_triples_fused
-from ..operators.mentions import detect_mentions
+from ..operators.relations import (
+    distinct_triples,
+    extract_triples_from_html,
+    extract_triples_fused,
+)
 from ..lexicon import lexicon_rows as default_lexicon_rows
 
 N_SUBJECT_BUCKETS = 32
@@ -41,10 +43,10 @@ def build_triples(
     lexicon_rows: list[tuple] | None = None,
     from_html: bool = True,
 ) -> DataFrame:
-    """pages -> per-page triples (shuffle-free fused stage)."""
+    """pages -> per-page triples (one shuffle-free fused Python stage)."""
     lex = lexicon_rows or default_lexicon_rows()
     if from_html:
-        pages = extract_text(pages, html_col="html", out_col="text")
+        return extract_triples_from_html(pages, lex)
     return extract_triples_fused(pages, lex)
 
 

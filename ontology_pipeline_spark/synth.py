@@ -151,7 +151,14 @@ def pages_df(spark, corpus: Corpus):
     return spark.createDataFrame(corpus.pages, schema=PAGES)
 
 
-def write_corpus(spark, path: str, n_pages: int = 500, seed: int = 42) -> Corpus:
+def write_corpus(
+    spark, path: str, n_pages: int = 500, seed: int = 42, n_files: int | None = None
+) -> Corpus:
+    """Write the corpus as many small splits (default 8 per core) so readers
+    get fine-grained tasks: stragglers then cost one sliver, not 1/32 of the
+    job — the local analog of sizing maxPartitionBytes on a cluster."""
+    if n_files is None:
+        n_files = max(32, spark.sparkContext.defaultParallelism * 8)
     corpus = generate_corpus(n_pages, seed)
-    pages_df(spark, corpus).repartition(32, "url").write.mode("overwrite").parquet(path)
+    pages_df(spark, corpus).repartition(n_files, "url").write.mode("overwrite").parquet(path)
     return corpus
