@@ -1,0 +1,97 @@
+"""Structured Streaming ingest: continuous KG construction.
+
+The reference is batch-with-resume (SURVEY.md §2.10 — its checkpoint is the
+processed-file anti-join, src/extractor.py:46-74); the batch plan reproduces
+that exactly.  This module adds the streaming-native version for sources that
+arrive continuously (new WARC dumps landing in object storage):
+
+    readStream(pages parquet dir) -> fused HTML->triples mapInPandas
+      -> writeStream(parquet sink, per-query checkpoint)
+
+Exactly-once comes from the streaming checkpoint (source offsets + file sink
+log), the streaming analog of the batch lineage table.  The extraction stage
+is stateless and narrow, so it runs unchanged inside a stream; windowed
+aggregations demonstrate watermark + event-time rollups over `warc_ts`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lexicon import lexicon_rows as default_lexicon_rows
+from ..operators.relations import extract_triples_from_html
+from ..schemas import PAGES
+
+
+def read_page_stream(spark: SparkSession, source_dir: str, max_files_per_trigger: int = 64) -> DataFrame:
+    """File-source stream over a pages parquet directory (new files = new data)."""
+    return (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+
+def triples_stream(pages_stream: DataFrame, lexicon_rows: list[tuple] | None = None) -> DataFrame:
+    """Streaming triples: the same fused stage as batch (stateless map)."""
+    return extract_triples_from_html(pages_stream, lexicon_rows or default_lexicon_rows())
+
+
+def run_stream_once(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    lexicon_rows: list[tuple] | None = None,
+) -> None:
+    """Drain everything currently available (Trigger.AvailableNow) into the
+    sink, exactly-once via the checkpoint; call again after new files land to
+    process only the delta — the streaming mirror of the batch resume test."""
+    tri = triples_stream(read_page_stream(spark, source_dir), lexicon_rows)
+    q = (
+        tri.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_mention_counts(
+    pages_stream: DataFrame,
+    lexicon_rows: list[tuple] | None = None,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time rollup: mentions per entity class per warc_ts window, with a
+    watermark bounding state for late pages (streaming analog of A4 group
+    counts).  The mention stage here carries warc_ts through the scan so no
+    stream-stream join is needed."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..operators.mentions import _compile, scan_text
+
+    lex = tuple(tuple(r) for r in (lexicon_rows or default_lexicon_rows()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pattern, lookup = _compile(lex)
+        for pdf in batches:
+            rows = []
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+                for _u, _sid, _pos, _surf, _canon, cls in scan_text(url, text, pattern, lookup):
+                    rows.append((ts, cls))
+            yield pd.DataFrame(rows, columns=["warc_ts", "entity_class"])
+
+    stamped = pages_stream.select("url", "warc_ts", "text").mapInPandas(
+        run, schema="warc_ts timestamp, entity_class string"
+    )
+    return (
+        stamped.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "entity_class")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )

@@ -1,0 +1,53 @@
+"""Multimodal plumbing: schema-true binary handling with stubbed decode."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ontology_pipeline_spark.operators.multimodal import (
+    extract_media_features,
+    resize_images,
+    sample_video_frames,
+)
+from ontology_pipeline_spark.schemas import MEDIA
+
+
+def _media(spark):
+    rows = [
+        ("m1", "image", b"\x89PNG fake bytes", "image/png", 64, 64, None),
+        ("m2", "audio", b"RIFF fake wave", "audio/wav", None, None, 2500),
+        ("m3", "video", b"\x00\x00ftyp fake", "video/mp4", 640, 480, 3500),
+        ("m4", "image", None, "image/png", None, None, None),
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA)
+
+
+def test_feature_extraction_stub_deterministic(spark):
+    out = {r["media_id"]: r for r in extract_media_features(_media(spark)).collect()}
+    assert out["m1"]["n_bytes"] == 15
+    assert out["m1"]["sha1"] == hashlib.sha1(b"\x89PNG fake bytes").hexdigest()
+    assert len(out["m1"]["feature"]) == 8
+    assert abs(sum(out["m1"]["feature"]) - 1.0) < 1e-3  # histogram sums to ~1
+    assert out["m4"]["feature"] is None and out["m4"]["n_bytes"] == 0
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in extract_media_features(_media(spark)).collect()}
+    assert again["m2"] == out["m2"]["feature"]
+
+
+def test_real_decode_is_explicit_stub(spark):
+    with pytest.raises(Exception) as ei:
+        extract_media_features(_media(spark), stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
+
+
+def test_resize_seam_raises_cleanly(spark):
+    with pytest.raises(Exception):
+        resize_images(_media(spark), 32, 32).collect()
+
+
+def test_video_frame_sampling(spark):
+    rows = sample_video_frames(_media(spark), every_ms=1000).collect()
+    got = sorted((r["media_id"], r["frame_ts_ms"]) for r in rows)
+    assert got == [("m3", 0), ("m3", 1000), ("m3", 2000), ("m3", 3000)]
