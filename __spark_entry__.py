@@ -508,7 +508,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type,
                count(*) AS n_events,
                round(cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
-               sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+               cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events
         GROUP BY event_type
     """
@@ -537,7 +537,7 @@ def oracle_sql() -> dict[str, str]:
         WITH {_HITS_CTE}
         SELECT term, entity_class,
                count(*) FILTER (WHERE n > 0) AS n_docs,
-               sum(n) FILTER (WHERE n > 0) AS n_mentions
+               cast(sum(n) FILTER (WHERE n > 0) AS BIGINT) AS n_mentions
         FROM hits
         GROUP BY term, entity_class
         HAVING count(*) FILTER (WHERE n > 0) > 0

@@ -117,12 +117,21 @@ def run_pipeline(
         .first()[0]
         or 0
     )
-    return {
+    summary = {
         "run_id": run_id,
         "total_pages": total_pages,
         "new_pages": new_pages,
         "new_triples": new_triples,
     }
+    # run-level metrics row alongside the commit (reference corpus summary,
+    # src/extractor.py:946-955; north rule: lineage + metrics per commit)
+    spark.createDataFrame(
+        [(run_id, total_pages, new_pages, new_triples)],
+        "run_id string, total_pages long, new_pages long, new_triples long",
+    ).withColumn("committed_ts", F.current_timestamp()).write.mode("append").parquet(
+        os.path.join(out_dir, "metrics")
+    )
+    return summary
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -41,10 +41,27 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_family(dt) -> str:
+    s = str(dt)
+    if "int" in s:
+        return "int"
+    if "float" in s or "decimal" in s.lower():
+        return "float"
+    if "datetime" in s:
+        return "ts"
+    return "str"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     errs = []
     if sorted(sdf.columns) != sorted(odf.columns):
         errs.append(f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return errs
+    for col in sdf.columns:
+        fa, fb = _dtype_family(sdf[col].dtype), _dtype_family(odf[col].dtype)
+        if fa != fb:
+            errs.append(f"dtype {col}: spark={sdf[col].dtype} oracle={odf[col].dtype}")
+    if errs:
         return errs
     if len(sdf) != len(odf):
         errs.append(f"rowcount: spark={len(sdf)} oracle={len(odf)}")
