@@ -1,0 +1,226 @@
+"""Assemble reference-shaped nested extraction documents from pipeline output.
+
+A user of the reference gets one deeply nested JSON document per input file
+(shape assembled at reference src/extractor.py:894-912).  This plan produces
+the same shape from the engine's mentions + triples — so downstream consumers
+of the reference's `extraction_results.json` can switch engines without
+changing their readers:
+
+    mentions (url, canonical, entity_class)  ┐ one groupBy(url) each —
+    triples  (url, subj, pred, obj, classes) ┘ two shuffles total, then a
+    per-url join (co-partitioned) -> EXTRACTION_DOC rows -> to_json export.
+
+All arrays are sorted for determinism (SURVEY.md hard-part 3: never rely on
+collect order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..lexicon import ONTOLOGY_VOCAB
+
+
+def _class_entities(cls: str, name_field: str, extra: dict[str, F.Column] | None = None):
+    """collect_set of per-class structs inside a single groupBy pass."""
+    fields = [F.col("canonical").alias(name_field)]
+    for k, v in (extra or {}).items():
+        fields.append(v.alias(k))
+    return F.sort_array(
+        F.collect_set(
+            F.when(F.col("entity_class") == cls, F.struct(*fields))
+        )
+    ).alias(cls)
+
+
+def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> DataFrame:
+    """(mentions, triples, pages) -> reference-shaped document rows."""
+    parent_map = F.create_map(
+        *[
+            x
+            for name, parent, _unit in ONTOLOGY_VOCAB["construct"]
+            for x in (F.lit(name), F.lit(parent))
+        ]
+    )
+    unit_map = F.create_map(
+        *[
+            x
+            for name, _parent, unit in ONTOLOGY_VOCAB["metric"]
+            for x in (F.lit(name), F.lit(unit))
+        ]
+    )
+
+    ents = mentions.groupBy("url").agg(
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    F.col("entity_class") == "domain",
+                    F.struct(
+                        F.col("canonical").alias("domain_name"),
+                        F.lit(None).cast("string").alias("domain_description"),
+                        F.lit(None).cast("string").alias("specialization_notes"),
+                    ),
+                )
+            )
+        ).alias("domains"),
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    F.col("entity_class") == "construct",
+                    F.struct(
+                        F.col("canonical").alias("construct_name"),
+                        F.lit(None).cast("string").alias("construct_description"),
+                        parent_map[F.col("canonical")].alias("domain_association"),
+                        F.lit(None).cast("string").alias("assessment_context"),
+                    ),
+                )
+            )
+        ).alias("constructs"),
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    F.col("entity_class") == "metric",
+                    F.struct(
+                        F.col("canonical").alias("metric_name"),
+                        unit_map[F.col("canonical")].alias("measurement_unit"),
+                        F.lit(None).cast("string").alias("assessment_source"),
+                        F.lit(None).cast("string").alias("normal_ranges"),
+                        F.lit(None).cast("string").alias("interpretation_notes"),
+                    ),
+                )
+            )
+        ).alias("metrics"),
+        F.sort_array(F.collect_set(F.when(F.col("entity_class") == "assessment", F.col("canonical")))).alias("_assessment_names"),
+        F.sort_array(F.collect_set(F.when(F.col("entity_class") == "intervention", F.col("canonical")))).alias("_intervention_names"),
+        F.sort_array(F.collect_set(F.when(F.col("entity_class") == "technology", F.col("canonical")))).alias("_technology_names"),
+    )
+
+    tri = triples.groupBy("url").agg(
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    F.col("pred").isin("association", "causal", "dependency"),
+                    F.struct(
+                        F.col("subj").alias("source_construct"),
+                        F.col("obj").alias("target_construct"),
+                        F.col("pred").alias("relationship_type"),
+                        F.lit(None).cast("string").alias("relationship_description"),
+                        F.lit(None).cast("string").alias("directionality"),
+                    ),
+                )
+            )
+        ).alias("construct_relationships"),
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    (F.col("subj_class") == "assessment") & (F.col("obj_class") == "construct"),
+                    F.struct(F.col("subj").alias("a"), F.col("obj").alias("c")),
+                )
+            )
+        ).alias("_ac"),
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    (F.col("subj_class") == "intervention") & (F.col("obj_class") == "construct"),
+                    F.struct(F.col("subj").alias("i"), F.col("obj").alias("c")),
+                )
+            )
+        ).alias("_ic"),
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    (F.col("subj_class") == "assessment") & (F.col("obj_class") == "intervention"),
+                    F.struct(
+                        F.col("subj").alias("assessment_name"),
+                        F.col("obj").alias("intervention_name"),
+                        F.col("pred").alias("connection_type"),
+                        F.lit(None).cast("string").alias("connection_description"),
+                    ),
+                )
+            )
+        ).alias("assessment_intervention_connections"),
+    )
+
+    # group per-pair lists: assessment -> constructs_measured,
+    # intervention -> constructs_targeted (reference shapes
+    # src/prompts.py:565-572, :589-596)
+    def regroup(col, key, out_key, list_key):
+        keys = F.array_distinct(F.transform(col, lambda s: s[key]))
+        return F.transform(
+            keys,
+            lambda k: F.struct(
+                k.alias(out_key),
+                F.filter(col, lambda s: s[key] == k).alias("_matches"),
+            ),
+        )
+
+    docs = (
+        pages.select("url", F.length("text").cast("long").alias("text_length"))
+        .join(ents, "url", "left")
+        .join(tri, "url", "left")
+    )
+
+    ac_links = F.transform(
+        regroup(F.col("_ac"), "a", "assessment_name", "_matches"),
+        lambda s: F.struct(
+            s["assessment_name"].alias("assessment_name"),
+            F.transform(s["_matches"], lambda m: m["c"]).alias("constructs_measured"),
+            F.lit("measures").alias("measurement_relationship"),
+        ),
+    )
+    ic_links = F.transform(
+        regroup(F.col("_ic"), "i", "intervention_name", "_matches"),
+        lambda s: F.struct(
+            s["intervention_name"].alias("intervention_name"),
+            F.transform(s["_matches"], lambda m: m["c"]).alias("constructs_targeted"),
+            F.lit(None).cast("string").alias("mechanism_of_action"),
+        ),
+    )
+
+    return docs.select(
+        "url",
+        "text_length",
+        F.size(F.coalesce(F.col("constructs"), F.array())).cast("long").alias("constructs_identified"),
+        "domains",
+        "constructs",
+        F.transform(
+            F.coalesce(F.col("_assessment_names"), F.array()),
+            lambda n: F.struct(
+                n.alias("assessment_name"),
+                F.lit(None).cast("string").alias("assessment_description"),
+                F.lit(None).cast("string").alias("modality"),
+                F.lit(None).cast("array<string>").alias("constructs_measured"),
+            ),
+        ).alias("assessments"),
+        F.transform(
+            F.coalesce(F.col("_intervention_names"), F.array()),
+            lambda n: F.struct(
+                n.alias("intervention_name"),
+                F.lit(None).cast("string").alias("intervention_description"),
+                F.lit(None).cast("string").alias("purpose"),
+                F.lit(None).cast("array<string>").alias("constructs_targeted"),
+                F.lit(None).cast("array<string>").alias("intervention_types"),
+            ),
+        ).alias("interventions"),
+        F.transform(
+            F.coalesce(F.col("_technology_names"), F.array()),
+            lambda n: F.struct(
+                n.alias("technology_name"),
+                F.lit(None).cast("string").alias("vendor_manufacturer"),
+                F.lit(None).cast("string").alias("technology_type"),
+                F.lit(None).cast("string").alias("specific_model"),
+                F.lit(None).cast("array<string>").alias("used_for_assessments"),
+            ),
+        ).alias("technologies"),
+        "metrics",
+        F.struct(
+            F.coalesce(F.col("construct_relationships"), F.array()).alias("construct_relationships"),
+            F.coalesce(ac_links, F.array()).alias("assessment_construct_links"),
+            F.coalesce(ic_links, F.array()).alias("intervention_construct_links"),
+            F.coalesce(F.col("assessment_intervention_connections"), F.array()).alias(
+                "assessment_intervention_connections"
+            ),
+        ).alias("relationships"),
+        F.lit(None).cast("string").alias("error"),
+    )

@@ -1,0 +1,60 @@
+"""Reference-shaped document assembly: round-trips through the reference's
+own edge-construction semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ontology_pipeline_spark.lexicon import lexicon_rows
+from ontology_pipeline_spark.operators.docs import edges_from_docs
+from ontology_pipeline_spark.operators.mentions import detect_mentions
+from ontology_pipeline_spark.operators.relations import extract_triples_fused
+from ontology_pipeline_spark.plans.documents import assemble_docs
+from ontology_pipeline_spark.schemas import EXTRACTION_DOC
+
+
+def test_docs_schema_and_roundtrip(spark, pages, corpus):
+    lex = lexicon_rows()
+    mentions = detect_mentions(pages, lex)
+    triples = extract_triples_fused(pages, lex)
+    docs = assemble_docs(mentions, triples, pages)
+
+    # reference document schema (field names + types; nullability flags are
+    # tighter in the assembled output, which is fine)
+    assert docs.schema.simpleString() == EXTRACTION_DOC.simpleString()
+
+    # round-trip: running the reference's edge-construction semantics over
+    # the assembled documents reproduces the pipeline's distinct triples
+    back = {
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in edges_from_docs(docs).collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in triples.collect()
+    }
+    assert back == want
+
+
+def test_docs_counts_and_attrs(spark, pages, corpus):
+    lex = lexicon_rows()
+    docs = assemble_docs(
+        detect_mentions(pages, lex), extract_triples_fused(pages, lex), pages
+    ).cache()
+    # every page present exactly once, constructs_identified consistent
+    assert docs.count() == pages.count()
+    bad = docs.filter(
+        F.size(F.coalesce(F.col("constructs"), F.array())) != F.col("constructs_identified")
+    ).count()
+    assert bad == 0
+    # construct domain_association filled from the ontology hierarchy
+    row = (
+        docs.select(F.explode("constructs").alias("c"))
+        .filter(F.col("c.construct_name") == "Sleep Quality")
+        .limit(1)
+        .collect()
+    )
+    assert row and row[0]["c"]["domain_association"] == "Recovery"
+    # JSON export shape parses
+    j = docs.limit(2).toJSON().collect()
+    assert all(s.startswith("{") for s in j)

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY.md §5 notes the reference has no property testing at all)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from ontology_pipeline_spark.lexicon import lexicon_rows
+from ontology_pipeline_spark.operators.extract_text import extract_text_bytes
+from ontology_pipeline_spark.operators.mentions import _compile, scan_text
+from ontology_pipeline_spark.operators.relations import _pair_triples
+from ontology_pipeline_spark.synth import wrap_html
+
+LEX = tuple(tuple(r) for r in lexicon_rows())
+PATTERN, LOOKUP = _compile(LEX)
+
+# words that can never collide with lexicon surfaces
+FILLER_WORD = st.sampled_from(["zog", "mep", "quib", "dran", "volp", "snee"])
+LEX_SURFACE = st.sampled_from([alias for _c, _n, alias, _p, _u in LEX])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(FILLER_WORD, LEX_SURFACE), min_size=0, max_size=30))
+def test_scan_counts_match_naive_matcher(words):
+    """Scanner output == a naive token matcher on space-separated token text."""
+    text = " ".join(words)
+    got = sorted(
+        (m[4], m[5]) for m in scan_text("u", text, PATTERN, LOOKUP)
+    )
+    # naive: count each lexicon surface as a standalone token sequence
+    want = []
+    joined = f" {text.lower()} "
+    for _cls, canon, alias, _p, _u in LEX:
+        pat = re.compile(
+            r"(?<![a-z0-9])" + re.escape(alias.lower()) + r"(?![a-z0-9])"
+        )
+        # longest-first semantics: skip aliases contained in a longer alias hit
+        for m in pat.finditer(joined):
+            longer = [
+                a for _c2, _n2, a, _p2, _u2 in LEX
+                if len(a) > len(alias) and alias.lower() in a.lower()
+            ]
+            covered = False
+            for la in longer:
+                for lm in re.finditer(
+                    r"(?<![a-z0-9])" + re.escape(la.lower()) + r"(?![a-z0-9])", joined
+                ):
+                    if lm.start() <= m.start() and m.end() <= lm.end():
+                        covered = True
+            if not covered:
+                want.append((canon, _cls))
+    assert got == sorted(want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abc &<>", min_size=0, max_size=20), min_size=0, max_size=6))
+def test_html_roundtrip_byte_identity(paragraphs):
+    """wrap_html -> extract_text_bytes is the identity on paragraph text
+    (modulo the pinned normalization: blank paragraphs dropped, edges
+    stripped)."""
+    norm = [p.strip() for p in paragraphs]
+    norm = [p for p in norm if p]
+    html = wrap_html("T", paragraphs)
+    assert extract_text_bytes(html) == "\n".join(norm)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),  # sent_id
+            st.integers(0, 50),  # pos
+            st.sampled_from(
+                [("Sleep Quality", "construct"), ("VO2 Max Test", "assessment"),
+                 ("Light Therapy", "intervention"), ("Oura Ring", "technology")]
+            ),
+        ),
+        max_size=12,
+    )
+)
+def test_pairing_properties(mentions):
+    """Pairing invariants: no self-loops, no duplicates, subject class always
+    matches the rule table, technology never appears in a triple."""
+    ments = [
+        ("u", sid, pos, name, name, cls) for sid, pos, (name, cls) in mentions
+    ]
+    out = _pair_triples(ments)
+    assert len(out) == len(set(out))  # local dedup
+    for subj, scls, pred, obj, ocls, _url in out:
+        assert subj != obj or scls != ocls
+        assert "technology" not in (scls, ocls)
+        assert (scls, pred) in {
+            ("assessment", "measures"),
+            ("intervention", "targets"),
+            ("assessment", "informs"),
+            ("construct", "association"),
+        }
