@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             block_cols=["lang", "source"],
             n=1,
             threshold=0.8,
+            salt=4,
         )
 
     q["near_dup_jaccard"] = near_dup_jaccard

@@ -44,6 +44,18 @@ def test_ngram_jaccard_pairs(spark):
     assert all(p in {(0, 1), (0, 2), (1, 2)} for p in got)
 
 
+def test_ngram_jaccard_salt_invariance(spark):
+    """Salting splits a hot block across reducers without changing the pairs."""
+    base = ngram_jaccard_pairs(
+        _docs(spark), block_cols=["lang", "source"], n=1, threshold=0.7
+    )
+    salted = ngram_jaccard_pairs(
+        _docs(spark), block_cols=["lang", "source"], n=1, threshold=0.7, salt=4
+    )
+    as_set = lambda df: {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+    assert as_set(base) == as_set(salted)
+
+
 def test_minhash_lsh_finds_near_dups_without_n2(spark):
     pairs = minhash_lsh_pairs(_docs(spark), num_hashes=32, bands=16, shingle_n=1)
     got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
