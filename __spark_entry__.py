@@ -395,6 +395,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triples_synthetic"] = kg_triples_synthetic
 
+    def extraction_docs_synthetic(spark, sf):
+        """Reference-shaped per-page extraction documents (flattened scalar
+        projection so the driver gets a stable schema)."""
+        from ontology_pipeline_spark.operators.mentions import detect_mentions
+        from ontology_pipeline_spark.plans.documents import assemble_docs
+        from ontology_pipeline_spark.synth import generate_corpus, pages_df
+
+        corpus = generate_corpus(n_pages=200, seed=13)
+        pages = pages_df(spark, corpus)
+        lex = lexicon_rows()
+        docs = assemble_docs(
+            detect_mentions(pages, lex), extract_triples_fused(pages, lex), pages
+        )
+        return docs.select(
+            "url",
+            "text_length",
+            "constructs_identified",
+            F.size("assessments").alias("n_assessments"),
+            F.size("interventions").alias("n_interventions"),
+            F.size("relationships.construct_relationships").alias("n_construct_rels"),
+            F.size("relationships.assessment_construct_links").alias("n_ac_links"),
+        ).orderBy("url")
+
+    q["extraction_docs_synthetic"] = extraction_docs_synthetic
+
     def canonical_components(spark, sf):
         from ontology_pipeline_spark.lexicon import lexicon_df
         from ontology_pipeline_spark.operators.canonicalize import canonical_mapping
