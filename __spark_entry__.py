@@ -420,6 +420,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extraction_docs_synthetic"] = extraction_docs_synthetic
 
+    def goals_constraints_fixture(spark, sf):
+        """M5 cue-scan pass on a deterministic consultation-style fixture;
+        the oracle replays the same RE2-safe cue rules in DuckDB."""
+        from ontology_pipeline_spark.operators.cues import cue_scan
+
+        pages = spark.createDataFrame(
+            [(u, "\n".join(s)) for u, s in _CUE_FIXTURE], ["url", "text"]
+        )
+        return cue_scan(pages).select(
+            "url", F.col("sent_id").cast("long").alias("sent_id"), "kind", "sentence"
+        )
+
+    q["goals_constraints_fixture"] = goals_constraints_fixture
+
     def canonical_components(spark, sf):
         from ontology_pipeline_spark.lexicon import lexicon_df
         from ontology_pipeline_spark.operators.canonicalize import canonical_mapping
@@ -469,6 +483,54 @@ toks AS (
     FROM documents
 )
 """
+
+
+# M5 cue-scan fixture: sentences shared verbatim by the Spark query (joined
+# with '\n' and re-split by the engine) and the DuckDB oracle (pre-split
+# VALUES, sidestepping RE2's lack of the lookbehind the splitter uses).
+_CUE_FIXTURE: list[tuple[str, list[str]]] = [
+    (
+        "https://c1.test",
+        [
+            "The client's goal is to improve Sleep Quality and Aerobic Capacity.",
+            "She prefers morning sessions and wants to avoid maximal testing.",
+            "Adaptation depends on training history and recovery.",
+        ],
+    ),
+    (
+        "https://c2.test",
+        [
+            "We scheduled a VO2 Max Test to assess Aerobic Capacity.",
+            "Response varies with genetics.",
+            "No issues were reported.",
+        ],
+    ),
+    (
+        "https://c3.test",
+        [
+            "Client hopes to return to competition soon.",
+            "He cannot train on weekends and has limited equipment.",
+        ],
+    ),
+]
+
+
+def _cue_fixture_oracle() -> str:
+    from ontology_pipeline_spark.operators.cues import DEFAULT_CUES
+
+    esc = lambda s: s.replace("'", "''")
+    sent_values = ", ".join(
+        f"('{esc(u)}', {i}, '{esc(s)}')"
+        for u, sents in _CUE_FIXTURE
+        for i, s in enumerate(sents)
+    )
+    cue_values = ", ".join(f"('{k}', '{esc(p)}')" for k, p in DEFAULT_CUES)
+    return f"""
+        WITH sents(url, sent_id, sentence) AS (VALUES {sent_values}),
+        cues(kind, pattern) AS (VALUES {cue_values})
+        SELECT url, sent_id::BIGINT AS sent_id, kind, sentence
+        FROM sents JOIN cues ON regexp_matches(lower(sentence), pattern)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -680,5 +742,7 @@ def oracle_sql() -> dict[str, str]:
         FROM norms
         GROUP BY label
     """
+
+    o["goals_constraints_fixture"] = _cue_fixture_oracle()
 
     return o
