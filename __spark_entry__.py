@@ -434,6 +434,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["goals_constraints_fixture"] = goals_constraints_fixture
 
+    def protocols_fixture(spark, sf):
+        """M7 dosage-pattern pass on a deterministic fixture; the oracle
+        replays the same RE2-safe patterns via regexp_extract_all."""
+        from ontology_pipeline_spark.operators.protocols import (
+            extract_protocol_details,
+        )
+
+        pages = spark.createDataFrame(
+            [(u, "\n".join(s)) for u, s in _PROTOCOL_FIXTURE], ["url", "text"]
+        )
+        return extract_protocol_details(pages).select(
+            "url",
+            F.col("sent_id").cast("long").alias("sent_id"),
+            "kind",
+            "detail",
+            "sentence",
+        )
+
+    q["protocols_fixture"] = protocols_fixture
+
     def canonical_components(spark, sf):
         from ontology_pipeline_spark.lexicon import lexicon_df
         from ontology_pipeline_spark.operators.canonicalize import canonical_mapping
@@ -513,6 +533,44 @@ _CUE_FIXTURE: list[tuple[str, list[str]]] = [
         ],
     ),
 ]
+
+
+_PROTOCOL_FIXTURE: list[tuple[str, list[str]]] = [
+    (
+        "https://p1.test",
+        [
+            "The 12-week Progressive Resistance Training program uses 3 sets of 8 reps at 75% of 1rm.",
+            "Clients complete 3 sessions per week for better Sleep Quality.",
+        ],
+    ),
+    (
+        "https://p2.test",
+        [
+            "A VO2 Max Test lasts 20 minutes.",
+            "No dosage details here.",
+        ],
+    ),
+]
+
+
+def _protocol_fixture_oracle() -> str:
+    from ontology_pipeline_spark.operators.protocols import PROTOCOL_PATTERNS
+
+    esc = lambda s: s.replace("'", "''")
+    sent_values = ", ".join(
+        f"('{esc(u)}', {i}, '{esc(s)}')"
+        for u, sents in _PROTOCOL_FIXTURE
+        for i, s in enumerate(sents)
+    )
+    pat_values = ", ".join(f"('{k}', '{esc(p)}')" for k, p in PROTOCOL_PATTERNS)
+    return f"""
+        WITH sents(url, sent_id, sentence) AS (VALUES {sent_values}),
+        pats(kind, pattern) AS (VALUES {pat_values})
+        SELECT url, sent_id::BIGINT AS sent_id, kind,
+               unnest(regexp_extract_all(lower(sentence), pattern)) AS detail,
+               sentence
+        FROM sents CROSS JOIN pats
+    """
 
 
 def _cue_fixture_oracle() -> str:
@@ -744,5 +802,6 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["goals_constraints_fixture"] = _cue_fixture_oracle()
+    o["protocols_fixture"] = _protocol_fixture_oracle()
 
     return o
