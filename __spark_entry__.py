@@ -297,12 +297,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint_stats"] = fingerprint_stats
 
     def near_dup_jaccard(spark, sf):
+        # blocked-pairs path (prefix_filter=False): at testdata scale the
+        # (lang, source) blocks hold ~100 docs, where exhaustive in-block
+        # enumeration beats the PPJoin prefix path's extra df shuffles; the
+        # prefix-filtered default is the web-scale choice and is asserted
+        # pair-identical in tests/test_dedup.py.
         return ngram_jaccard_pairs(
             _t(spark, sf, "documents"),
             block_cols=["lang", "source"],
             n=1,
             threshold=0.8,
             salt=4,
+            prefix_filter=False,
         )
 
     q["near_dup_jaccard"] = near_dup_jaccard

@@ -85,17 +85,38 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.8,
     salt: int = 1,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Near-dup candidate pairs by token/shingle-set Jaccard within blocks.
+    """Near-dup pairs by token/shingle-set Jaccard within blocks:
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded(6), >= threshold.
 
-    Blocking keys (e.g. (lang, source)) bound the quadratic pair space; the
-    join shuffles on the block key.  `salt > 1` additionally splits each
-    block across `salt` reducers (left side keyed by hash(id) % salt, right
-    side replicated to every salt value) — same pairs, bounded task size even
-    when one block dominates the corpus (AQE skew-split alone cannot split a
-    single join *group*).  Returns (id_a, id_b, jaccard) with id_a < id_b,
-    jaccard rounded(6).
+    Scale design (the two candidate-generation strategies, both exact):
+
+    * ``prefix_filter=True`` (default) — PPJoin-style prefix filtering.
+      Shingle arrays are sorted by ascending global document frequency
+      (rarest first); a pair with Jaccard >= t MUST share a shingle within
+      each side's first ``|S| - ceil(t*|S|) + 1`` elements under ANY global
+      total order, so exploding only that prefix and equi-joining on
+      (block, shingle) yields a candidate superset.  df-ascending order puts
+      the rarest shingles in the prefix, so stop-word-like shingles never
+      fan out into n^2 candidate pairs; a length filter (|A| >= t*|B|)
+      prunes further before verification.  Candidates are verified exactly
+      against the staged shingle arrays.  No quadratic block enumeration
+      ever materializes.
+
+    * ``prefix_filter=False`` — plain blocked self-join (every in-block
+      pair), with optional ``salt > 1`` splitting each block across `salt`
+      reducers (left side keyed by hash(id) % salt, right side replicated)
+      for bounded task size when one block dominates.
+
+    Either way the tokenize->shingle stage is computed ONCE and pinned with
+    `localCheckpoint` — referencing the raw expression from both sides of a
+    self-join re-evaluates the whole tokenization tree per *pair* per
+    consumer (filter pushdown duplicates it again): measured 149 s vs 9 s on
+    5k docs at sf0.1.  On a cluster the staging table would be a parquet/
+    Iceberg temp table instead.
     """
+    par = documents.sparkSession.sparkContext.defaultParallelism
     sh = documents.select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
@@ -105,31 +126,88 @@ def ngram_jaccard_pairs(
         *block_cols,
         _shingles_of_tokens(F.col("_t"), n).alias("_sh"),
     )
-    a = sh
-    b = sh
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
-        F.col("a._id") < F.col("b._id")
-    ]
-    if salt > 1:
-        a = a.withColumn("_salt", F.pmod(F.xxhash64("_id"), F.lit(salt)))
-        b = b.withColumn(
-            "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt)]))
-        )
-        cond.append(F.col("a._salt") == F.col("b._salt"))
-    a = a.alias("a")
-    b = b.alias("b")
+    if sh.rdd.getNumPartitions() < par:
+        sh = sh.repartition(par)
+    sh = sh.localCheckpoint(eager=True)
+
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
-    union = F.size(F.col("a._sh")) + F.size(F.col("b._sh")) - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+
+    if prefix_filter:
+        # global shingle document frequencies (shingles are distinct per doc,
+        # so a plain count is the df); rarest-first rank via the df itself
+        toks = sh.select("_id", *block_cols, F.explode("_sh").alias("_tok"))
+        dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+        # re-assemble each doc's shingle array sorted by (df asc, token asc):
+        # deterministic, rarest shingles first
+        ranked = (
+            toks.join(dfreq, "_tok")
+            .groupBy("_id", *block_cols)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_df", "_tok"))),
+                    lambda s: s["_tok"],
+                ).alias("_sh"),
+            )
         )
-        .filter(F.col("jaccard") >= threshold)
+        npfx = F.size("_sh") - F.ceil(F.size("_sh") * F.lit(float(threshold))) + 1
+        pfx = ranked.select(
+            "_id",
+            *block_cols,
+            F.size("_sh").alias("_n"),
+            F.explode(F.slice("_sh", 1, npfx)).alias("_tok"),
+        )
+        a, b = pfx.alias("a"), pfx.alias("b")
+        cand = (
+            a.join(
+                b,
+                [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+                + [
+                    F.col("a._tok") == F.col("b._tok"),
+                    F.col("a._id") < F.col("b._id"),
+                    # length filter: Jaccard >= t forces t <= |A|/|B| <= 1/t
+                    F.col("a._n") * F.lit(float(threshold)) <= F.col("b._n"),
+                    F.col("b._n") * F.lit(float(threshold)) <= F.col("a._n"),
+                ],
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = cand.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh")).alias("a"), "id_a"
+        ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh")).alias("b"), "id_b")
+    else:
+        a = sh
+        b = sh
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
+            F.col("a._id") < F.col("b._id")
+        ]
+        if salt > 1:
+            a = a.withColumn("_salt", F.pmod(F.xxhash64("_id"), F.lit(salt)))
+            b = b.withColumn(
+                "_salt",
+                F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt)])),
+            )
+            cond.append(F.col("a._salt") == F.col("b._salt"))
+        pairs = (
+            a.alias("a")
+            .join(b.alias("b"), cond)
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "a._sh", "b._sh")
+        )
+
+    # verify exactly; stage (inter, sizes) through a projection so the
+    # intersect runs once per pair, then filter on the cheap derived column
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        inter.alias("_i"),
+        (F.size(F.col("a._sh")) + F.size(F.col("b._sh"))).alias("_s"),
     )
+    jac = F.when(
+        F.col("_s") - F.col("_i") > 0, F.col("_i") / (F.col("_s") - F.col("_i"))
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(

@@ -47,13 +47,26 @@ def test_ngram_jaccard_pairs(spark):
 def test_ngram_jaccard_salt_invariance(spark):
     """Salting splits a hot block across reducers without changing the pairs."""
     base = ngram_jaccard_pairs(
-        _docs(spark), block_cols=["lang", "source"], n=1, threshold=0.7
+        _docs(spark), block_cols=["lang", "source"], n=1, threshold=0.7,
+        prefix_filter=False,
     )
     salted = ngram_jaccard_pairs(
-        _docs(spark), block_cols=["lang", "source"], n=1, threshold=0.7, salt=4
+        _docs(spark), block_cols=["lang", "source"], n=1, threshold=0.7, salt=4,
+        prefix_filter=False,
     )
     as_set = lambda df: {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
     assert as_set(base) == as_set(salted)
+
+
+def test_ngram_jaccard_prefix_filter_equivalence(spark):
+    """The PPJoin-style prefix-filtered candidate path (the web-scale
+    default) returns exactly the same pairs+scores as exhaustive in-block
+    enumeration — the filter is lossless for Jaccard >= t."""
+    kw = dict(block_cols=["lang", "source"], n=1, threshold=0.7)
+    pref = ngram_jaccard_pairs(_docs(spark), prefix_filter=True, **kw)
+    full = ngram_jaccard_pairs(_docs(spark), prefix_filter=False, **kw)
+    as_set = lambda df: {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+    assert as_set(pref) == as_set(full)
 
 
 def test_minhash_lsh_finds_near_dups_without_n2(spark):
