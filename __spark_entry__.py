@@ -810,4 +810,28 @@ def oracle_sql() -> dict[str, str]:
     o["goals_constraints_fixture"] = _cue_fixture_oracle()
     o["protocols_fixture"] = _protocol_fixture_oracle()
 
+    # G5 canonicalization: the Spark side runs iterative min-label propagation
+    # (salted connected components); the oracle computes the same fixpoint as
+    # a recursive-CTE transitive closure + min label per node.  Edges are the
+    # ontology lexicon's alias~canonical equivalence pairs, inlined as VALUES
+    # so the SQL is self-contained.
+    lex_alias_canon = ", ".join(
+        f"('{alias}', '{canon}')"
+        for _cls, canon, alias, _p, _u in lexicon_rows()
+    )
+    o["canonical_components"] = f"""
+        WITH RECURSIVE lex(alias, canon) AS (VALUES {lex_alias_canon}),
+        edges AS (
+            SELECT alias AS a, canon AS b FROM lex
+            UNION
+            SELECT canon AS a, alias AS b FROM lex
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.node, e.b FROM reach r JOIN edges e ON r.lbl = e.a
+        )
+        SELECT node AS name, min(lbl) AS canonical_id FROM reach GROUP BY node
+    """
+
     return o
