@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ontology_pipeline_spark.lexicon import lexicon_rows, simple_lexicon
 from ontology_pipeline_spark.operators.dedup import (
+    embedding_cosine_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_buckets,
@@ -29,7 +30,11 @@ from ontology_pipeline_spark.operators.dedup import (
 from ontology_pipeline_spark.operators.graph import ego_edges
 from ontology_pipeline_spark.operators.mentions import detect_mentions
 from ontology_pipeline_spark.operators.relations import extract_triples_fused
-from ontology_pipeline_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from ontology_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from ontology_pipeline_spark.operators.text_analysis import (
     fingerprint,
     quality_score,
@@ -389,6 +394,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_ann_topk(emb, qv, k=10, n_planes=8, max_hamming=2)
 
     q["ann_topk_q0"] = ann_topk_q0
+
+    def ivf_ann_q0(spark, sf):
+        """IVF (k-means coarse quantizer) ANN variant — data-adaptive cells
+        vs ann_topk_q0's sign-LSH buckets."""
+        emb = _t(spark, sf, "embeddings")
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["embedding"]
+        ]
+        return ivf_ann_topk(emb, qv, k=10, n_centroids=16, n_probe=4)
+
+    q["ivf_ann_q0"] = ivf_ann_q0
+
+    def embedding_close_pairs(spark, sf):
+        """Embedding near-dup pairs within label blocks.  The synthetic
+        vectors are near-orthogonal (max in-block cosine ~0.47), so the 0.35
+        threshold exercises the operator with a small non-empty result."""
+        return embedding_cosine_pairs(
+            _t(spark, sf, "embeddings"), block_col="label", threshold=0.35
+        )
+
+    q["embedding_close_pairs"] = embedding_close_pairs
+
+    def node_degrees(spark, sf):
+        """Degree per node over the corpus co-occurrence graph (undirected:
+        union both endpoints, count distinct neighbors)."""
+        edges = (
+            _cooccurrence_triples(spark, sf)
+            .select("subj", "obj")
+            .distinct()
+        )
+        sym = edges.union(edges.select(F.col("obj"), F.col("subj")))
+        return sym.groupBy(F.col("subj").alias("node")).agg(
+            F.countDistinct("obj").alias("degree")
+        )
+
+    q["node_degrees"] = node_degrees
 
     def kg_triples_synthetic(spark, sf):
         from ontology_pipeline_spark.synth import generate_corpus, pages_df
@@ -809,6 +851,34 @@ def oracle_sql() -> dict[str, str]:
 
     o["goals_constraints_fixture"] = _cue_fixture_oracle()
     o["protocols_fixture"] = _protocol_fixture_oracle()
+
+    o["embedding_close_pairs"] = """
+        WITH e AS (
+            SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    """
+
+    o["node_degrees"] = f"""
+        WITH {_HITS_CTE},
+        edges AS (
+            SELECT DISTINCT a.term AS subj, b.term AS obj
+            FROM hits a JOIN hits b
+              ON a.doc_id = b.doc_id AND a.term < b.term
+            WHERE a.n > 0 AND b.n > 0
+        ),
+        sym AS (
+            SELECT subj, obj FROM edges
+            UNION ALL
+            SELECT obj AS subj, subj AS obj FROM edges
+        )
+        SELECT subj AS node, count(DISTINCT obj) AS degree FROM sym GROUP BY subj
+    """
 
     # G5 canonicalization: the Spark side runs iterative min-label propagation
     # (salted connected components); the oracle computes the same fixpoint as

@@ -6,6 +6,7 @@ import math
 
 from ontology_pipeline_spark.operators.similarity import (
     cosine_topk,
+    ivf_ann_topk,
     lsh_ann_topk,
     with_lsh_bucket,
     hyperplanes,
@@ -67,3 +68,34 @@ def test_lsh_bucket_prunes(spark):
     bucketed = with_lsh_bucket(emb, planes)
     n_buckets = bucketed.select("bucket").distinct().count()
     assert n_buckets > 10  # spread across many buckets => real pruning
+
+
+def test_ivf_ann_high_recall_on_clustered_data(spark):
+    """IVF cells adapt to the data distribution: on blob-clustered vectors a
+    small n_probe recovers (nearly) the full exact top-k."""
+    import random
+
+    rng = random.Random(7)
+    dim, blobs, per_blob = 16, 4, 50
+    rows = []
+    for b in range(blobs):
+        center = [rng.gauss(0, 1) * 5 for _ in range(dim)]
+        for i in range(per_blob):
+            rows.append(
+                (b * per_blob + i, [c + rng.gauss(0, 0.3) for c in center])
+            )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[0][1]
+
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    ann_rows = ivf_ann_topk(
+        emb, q, k=10, n_centroids=8, n_probe=2, seed=42
+    ).collect()
+    ann = [r["vec_id"] for r in ann_rows]
+    assert len(set(exact) & set(ann)) >= 9
+    # pruning never alters scores: ANN cosines equal the exact ones
+    exact_all = {
+        r["vec_id"]: r["cosine"] for r in cosine_topk(emb, q, k=len(rows)).collect()
+    }
+    for r in ann_rows:
+        assert abs(r["cosine"] - exact_all[r["vec_id"]]) < 1e-9
