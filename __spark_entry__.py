@@ -190,6 +190,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customers_without_orders"] = customers_without_orders
 
+    def order_priority_semi(spark, sf):
+        """TPC-H Q4 shape: EXISTS -> left_semi join, then priority counts."""
+        o, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+        r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+        return (
+            o.join(r, o["o_orderkey"] == r["l_orderkey"], "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    q["order_priority_semi"] = order_priority_semi
+
+    def user_sessions(spark, sf):
+        """Gap-based sessionization (30-min inactivity) via window functions:
+        lag -> new-session flag -> per-user session count."""
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.timestamp_diff("SECOND", F.lag("ts").over(w), F.col("ts"))
+        is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return (
+            e.withColumn("_new", is_new)
+            .groupBy("user_id")
+            .agg(
+                F.sum("_new").cast("long").alias("n_sessions"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    q["user_sessions"] = user_sessions
+
+    def revenue_rollup(spark, sf):
+        """Grouping-sets breadth: ROLLUP (nation, order year) with exact
+        decimal totals."""
+        o, c, n = (
+            _t(spark, sf, "orders"),
+            _t(spark, sf, "customer"),
+            _t(spark, sf, "nation"),
+        )
+        return (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .withColumn("o_year", F.year("o_orderdate").cast("long"))
+            .rollup("n_name", "o_year")
+            .agg(
+                _money(F.col("o_totalprice")).alias("total_revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    q["revenue_rollup"] = revenue_rollup
+
+    def mktsegment_acctbal(spark, sf):
+        c = _t(spark, sf, "customer")
+        return c.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+
+    q["mktsegment_acctbal"] = mktsegment_acctbal
+
     def latest_event_per_user(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -678,6 +739,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+    o["order_priority_semi"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+    """
+
+    o["user_sessions"] = """
+        WITH g AS (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, cast(sum(is_new) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM g GROUP BY user_id
+    """
+
+    o["revenue_rollup"] = """
+        SELECT n_name, cast(year(o_orderdate) AS BIGINT) AS o_year,
+               round(cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, cast(year(o_orderdate) AS BIGINT))
+    """
+
+    o["mktsegment_acctbal"] = """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(min(c_acctbal), 2) AS min_bal,
+               round(max(c_acctbal), 2) AS max_bal
+        FROM customer
+        GROUP BY c_mktsegment
     """
 
     o["latest_event_per_user"] = """
