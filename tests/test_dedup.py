@@ -69,6 +69,19 @@ def test_ngram_jaccard_prefix_filter_equivalence(spark):
     assert as_set(pref) == as_set(full)
 
 
+def test_ngram_jaccard_prefix_filter_equivalence_corpus(spark):
+    """Same losslessness on a realistic corpus (driver testdata, sf0.001:
+    real vocabulary, shared templates, many borderline scores)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(block_cols=["lang", "source"], n=1, threshold=0.8)
+    pref = ngram_jaccard_pairs(docs, prefix_filter=True, **kw)
+    full = ngram_jaccard_pairs(docs, prefix_filter=False, **kw)
+    as_set = lambda df: {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+    got = as_set(pref)
+    assert got == as_set(full)
+    assert len(got) > 0  # the fixture corpus must actually exercise the path
+
+
 def test_minhash_lsh_finds_near_dups_without_n2(spark):
     pairs = minhash_lsh_pairs(_docs(spark), num_hashes=32, bands=16, shingle_n=1)
     got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
