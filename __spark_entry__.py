@@ -251,6 +251,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mktsegment_acctbal"] = mktsegment_acctbal
 
+    def latest_order_before_event(spark, sf):
+        """As-of join (cogrouped merge_asof): each event gets its user's
+        latest order at or before the event time; unmatched events dropped
+        to mirror the oracle's inner formulation."""
+        from ontology_pipeline_spark.operators.temporal import asof_join
+
+        events = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+        orders = _t(spark, sf, "orders")
+        return (
+            asof_join(
+                events,
+                orders,
+                key="user_id",
+                right_key="o_custkey",
+                left_ts="ts",
+                right_ts="o_orderdate",
+                right_cols=["o_orderkey", "o_totalprice"],
+                tiebreak=["o_orderkey"],
+            )
+            .filter(F.col("o_orderkey").isNotNull())
+            .select(
+                "event_id",
+                "user_id",
+                "o_orderkey",
+                F.round(F.col("o_totalprice"), 2).alias("total"),
+            )
+        )
+
+    q["latest_order_before_event"] = latest_order_before_event
+
     def latest_event_per_user(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -781,6 +811,22 @@ def oracle_sql() -> dict[str, str]:
                round(max(c_acctbal), 2) AS max_bal
         FROM customer
         GROUP BY c_mktsegment
+    """
+
+    o["latest_order_before_event"] = """
+        WITH ranked AS (
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, o_orderkey,
+               round(o_totalprice, 2) AS total
+        FROM ranked WHERE rn = 1
     """
 
     o["latest_event_per_user"] = """

@@ -1,0 +1,97 @@
+"""As-of join: cogrouped merge_asof vs a window-based Spark formulation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ontology_pipeline_spark.operators.temporal import asof_join
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_asof_join_basic(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 10, _ts(5)),
+            (2, 10, _ts(1)),   # before any order for user 10
+            (3, 20, _ts(9)),
+            (4, 30, _ts(9)),   # user with no orders at all
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 10, _ts(2), 5.0),
+            (101, 10, _ts(4), 7.0),   # latest <= day 5
+            (102, 10, _ts(6), 9.0),   # after the event
+            (200, 20, _ts(9), 1.0),   # exactly at the event ts -> matches
+            (201, 20, _ts(9), 2.0),   # same ts, larger key wins the tie
+        ],
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = asof_join(
+        events,
+        orders,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak=["o_orderkey"],
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[1]["o_orderkey"] == 101 and rows[1]["o_totalprice"] == 7.0
+    assert rows[2]["o_orderkey"] is None
+    assert rows[3]["o_orderkey"] == 201  # tie on ts -> greatest key
+    assert rows[4]["o_orderkey"] is None
+
+
+def test_asof_join_matches_window_formulation(spark):
+    """On real testdata the cogrouped merge_asof must equal the declarative
+    range-join + row_number formulation (the O(n*m) reference semantics)."""
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+
+    got = asof_join(
+        events,
+        orders,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tiebreak=["o_orderkey"],
+    ).filter(F.col("o_orderkey").isNotNull()).select(
+        "event_id", "user_id", "ts", "o_orderkey", "o_orderdate"
+    )
+
+    joined = events.join(
+        orders, (events["user_id"] == orders["o_custkey"]) & (orders["o_orderdate"] <= events["ts"])
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    want = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(got) == as_set(want)
+    assert got.count() > 0
+
+
+def test_asof_join_rejects_column_clash(spark):
+    df = spark.createDataFrame([(1, _ts(1))], ["k", "ts"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, key="k", right_cols=["ts"])
