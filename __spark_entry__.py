@@ -281,6 +281,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["latest_order_before_event"] = latest_order_before_event
 
+    def orders_in_month_windows(spark, sf):
+        """Bucketized range join: orders falling in the first 10 days of
+        each month window derived from the data itself."""
+        from ontology_pipeline_spark.operators.temporal import bucketized_range_join
+
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+        windows = (
+            orders.select(F.date_trunc("month", "o_orderdate").alias("win_start"))
+            .distinct()
+            .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 10 DAYS"))
+        )
+        hit = bucketized_range_join(
+            orders, windows, "o_orderdate", "win_start", "win_end",
+            bucket_seconds=10 * 24 * 3600,
+        )
+        return hit.groupBy("win_start").agg(F.count(F.lit(1)).alias("n_orders"))
+
+    q["orders_in_month_windows"] = orders_in_month_windows
+
     def latest_event_per_user(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -827,6 +846,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, o_orderkey,
                round(o_totalprice, 2) AS total
         FROM ranked WHERE rn = 1
+    """
+
+    o["orders_in_month_windows"] = """
+        WITH windows AS (
+            SELECT DISTINCT date_trunc('month', o_orderdate) AS win_start,
+                   date_trunc('month', o_orderdate) + INTERVAL 10 DAY AS win_end
+            FROM orders
+        )
+        SELECT w.win_start, count(*) AS n_orders
+        FROM orders o JOIN windows w
+          ON o.o_orderdate >= w.win_start AND o.o_orderdate < w.win_end
+        GROUP BY w.win_start
     """
 
     o["latest_event_per_user"] = """

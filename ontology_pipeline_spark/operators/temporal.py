@@ -86,3 +86,55 @@ def asof_join(
         .cogroup(r.groupBy(key))
         .applyInPandas(merge, schema=schema)
     )
+
+
+_EPOCH0 = "1970-01-01 00:00:00"
+
+
+def _secs(col):
+    """Seconds since epoch for timestamp/timestamp_ntz columns (timestamp_ntz
+    cannot be cast to long directly)."""
+    return F.timestamp_diff("SECOND", F.lit(_EPOCH0).cast("timestamp_ntz"), col.cast("timestamp_ntz"))
+
+
+def bucketized_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Point-in-interval join (start <= point < end) via time bucketing.
+
+    A naive range join is a theta join — Spark executes it as a broadcast
+    nested loop (O(points x intervals)).  Bucketizing turns it into an
+    EQUI-join: each point lands in exactly one `bucket_seconds`-wide bucket,
+    each interval is exploded across the buckets it overlaps (`sequence` +
+    `explode`, JVM-side), the join runs hash-partitioned on the bucket, and
+    the exact predicate filters residual false pairs inside the bucket.
+    Because a point has exactly one bucket, no pair can match twice — no
+    dedup needed.  Shuffle volume scales with points + interval-bucket
+    expansions; pick `bucket_seconds` near the typical interval length so
+    each interval explodes to O(1) buckets.
+
+    Returns points columns + intervals columns (names must not collide).
+    """
+    clash = set(points.columns) & set(intervals.columns)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}")
+    w = F.lit(int(bucket_seconds)).cast("long")
+    p = points.withColumn("_b", F.floor(_secs(F.col(point_col)) / w))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(_secs(F.col(start_col)) / w),
+                F.floor(_secs(F.col(end_col)) / w),
+            )
+        ),
+    )
+    joined = p.join(iv, "_b").filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("_b")

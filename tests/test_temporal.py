@@ -95,3 +95,37 @@ def test_asof_join_rejects_column_clash(spark):
     df = spark.createDataFrame([(1, _ts(1))], ["k", "ts"])
     with pytest.raises(ValueError, match="collide"):
         asof_join(df, df, key="k", right_cols=["ts"])
+
+
+def test_bucketized_range_join_matches_theta_join(spark):
+    """Bucketized equi-join formulation must equal the naive theta join,
+    including intervals spanning many buckets and boundary points
+    (start inclusive, end exclusive)."""
+    from ontology_pipeline_spark.operators.temporal import bucketized_range_join
+
+    points = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=7 * i)) for i in range(60)],
+        ["pid", "pt"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 5)),
+            (1, dt.datetime(2024, 1, 4, 12), dt.datetime(2024, 1, 4, 19)),
+            (2, dt.datetime(2023, 12, 1), dt.datetime(2024, 2, 1)),  # spans all
+            (3, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 7)),  # [p0, p1)
+            (4, dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 2)),  # matches none
+        ],
+        ["iid", "start", "end"],
+    )
+    got = bucketized_range_join(
+        points, intervals, "pt", "start", "end", bucket_seconds=86400
+    ).select("pid", "iid")
+    want = points.join(
+        intervals,
+        (points["pt"] >= intervals["start"]) & (points["pt"] < intervals["end"]),
+    ).select("pid", "iid")
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    g, w = as_set(got), as_set(want)
+    assert g == w
+    assert (0, 3) in g and (1, 3) not in g  # end-exclusive boundary
+    assert all(i != 4 for _, i in g)
