@@ -300,6 +300,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_in_month_windows"] = orders_in_month_windows
 
+    def events_daily_rollup(spark, sf):
+        """The hypertable continuous-aggregate kernel (plans/rollup.py) as a
+        direct query: per (day chunk, event_type) counts + exact decimal sums."""
+        from ontology_pipeline_spark.plans.rollup import rollup_events
+
+        return rollup_events(_t(spark, sf, "events"), "ts", "day")
+
+    q["events_daily_rollup"] = events_daily_rollup
+
     def latest_event_per_user(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -858,6 +867,14 @@ def oracle_sql() -> dict[str, str]:
         FROM orders o JOIN windows w
           ON o.o_orderdate >= w.win_start AND o.o_orderdate < w.win_end
         GROUP BY w.win_start
+    """
+
+    o["events_daily_rollup"] = """
+        SELECT date_trunc('day', ts) AS chunk, event_type,
+               count(*) AS n_events,
+               round(cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS value_sum
+        FROM events
+        GROUP BY 1, 2
     """
 
     o["latest_event_per_user"] = """
