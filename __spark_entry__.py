@@ -309,6 +309,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_daily_rollup"] = events_daily_rollup
 
+    def distinct_users_kmv(spark, sf):
+        """KMV distinct sketch per event_type.  k=256 exceeds the corpus's
+        user cardinality at the checked scales, where the sketch is exact by
+        construction (bottom-k holds every distinct hash) — so the estimate
+        is oracle-comparable while the query drives the real sketch path."""
+        from ontology_pipeline_spark.operators.sketch import estimate_distinct
+
+        return estimate_distinct(
+            _t(spark, sf, "events"), ["event_type"], "user_id", k=256
+        )
+
+    q["distinct_users_kmv"] = distinct_users_kmv
+
     def latest_event_per_user(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -875,6 +888,11 @@ def oracle_sql() -> dict[str, str]:
                round(cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS value_sum
         FROM events
         GROUP BY 1, 2
+    """
+
+    o["distinct_users_kmv"] = """
+        SELECT event_type, cast(count(DISTINCT user_id) AS DOUBLE) AS est_distinct
+        FROM events GROUP BY event_type
     """
 
     o["latest_event_per_user"] = """

@@ -1,0 +1,57 @@
+"""KMV distinct sketch: accuracy, exactness below k, merge law."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ontology_pipeline_spark.operators.sketch import (
+    estimate_distinct,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+K = 64
+
+
+def _df(spark, groups):
+    """groups: {group: n_distinct}; values get per-group disjoint prefixes,
+    each value duplicated 3x to prove dedup."""
+    rows = []
+    for g, n in groups.items():
+        for i in range(n):
+            rows.extend((g, f"{g}:v{i}") for _ in range(3))
+    return spark.createDataFrame(rows, ["g", "v"])
+
+
+def test_exact_below_k(spark):
+    df = _df(spark, {"a": 10, "b": 63})
+    got = {r["g"]: r["est_distinct"] for r in estimate_distinct(df, ["g"], "v", K).collect()}
+    assert got == {"a": 10.0, "b": 63.0}
+
+
+def test_estimate_accuracy_above_k(spark):
+    df = _df(spark, {"big": 5000})
+    est = estimate_distinct(df, ["g"], "v", K).collect()[0]["est_distinct"]
+    # rel error ~ 1/sqrt(k-2) ~ 12.7%; allow 3 sigma
+    assert abs(est - 5000) / 5000 < 0.4
+    assert est != 5000  # genuinely an estimate
+
+
+def test_merge_equals_sketch_of_union(spark):
+    a = _df(spark, {"g": 300})
+    b = spark.createDataFrame(
+        [("g", f"g:w{i}") for i in range(250)], ["g", "v"]
+    )
+    sa = kmv_sketch(a, ["g"], "v", K).select(F.col("sketch").alias("sa"))
+    sb = kmv_sketch(b, ["g"], "v", K).select(F.col("sketch").alias("sb"))
+    merged = sa.crossJoin(sb).select(kmv_merge(F.col("sa"), F.col("sb"), K).alias("sketch"))
+    union_sketch = kmv_sketch(a.union(b), ["g"], "v", K)
+    assert merged.collect()[0]["sketch"] == union_sketch.collect()[0]["sketch"]
+
+
+def test_deterministic_across_runs(spark):
+    df = _df(spark, {"x": 1000}).repartition(16)
+    e1 = estimate_distinct(df, ["g"], "v", K).collect()[0]["est_distinct"]
+    e2 = estimate_distinct(df.repartition(3), ["g"], "v", K).collect()[0]["est_distinct"]
+    assert e1 == e2
