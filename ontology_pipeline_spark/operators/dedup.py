@@ -116,6 +116,11 @@ def ngram_jaccard_pairs(
     5k docs at sf0.1.  On a cluster the staging table would be a parquet/
     Iceberg temp table instead.
     """
+    if prefix_filter and salt > 1:
+        raise ValueError(
+            "salt applies only to the blocked-pairs path; pass "
+            "prefix_filter=False to use salted block splitting"
+        )
     par = documents.sparkSession.sparkContext.defaultParallelism
     sh = documents.select(
         F.col(id_col).alias("_id"),
@@ -128,7 +133,9 @@ def ngram_jaccard_pairs(
     )
     if sh.rdd.getNumPartitions() < par:
         sh = sh.repartition(par)
-    sh = sh.localCheckpoint(eager=True)
+    # lazy checkpoint: materializes on first action (not at plan construction)
+    # and is then reused by every consumer of the self-join
+    sh = sh.localCheckpoint(eager=False)
 
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
 
@@ -149,7 +156,16 @@ def ngram_jaccard_pairs(
                 ).alias("_sh"),
             )
         )
-        npfx = F.size("_sh") - F.ceil(F.size("_sh") * F.lit(float(threshold))) + 1
+        # epsilon guards the float product: when t*|S| is mathematically an
+        # integer but rounds UP in floating point (e.g. t=39/76, |S|=228 ->
+        # 117.00000000000001), a bare ceil would shorten the prefix by one
+        # and silently drop qualifying pairs; erring longer keeps the filter
+        # lossless
+        npfx = (
+            F.size("_sh")
+            - F.ceil(F.size("_sh") * F.lit(float(threshold)) - F.lit(1e-9))
+            + 1
+        )
         pfx = ranked.select(
             "_id",
             *block_cols,
@@ -165,8 +181,12 @@ def ngram_jaccard_pairs(
                     F.col("a._tok") == F.col("b._tok"),
                     F.col("a._id") < F.col("b._id"),
                     # length filter: Jaccard >= t forces t <= |A|/|B| <= 1/t
-                    F.col("a._n") * F.lit(float(threshold)) <= F.col("b._n"),
-                    F.col("b._n") * F.lit(float(threshold)) <= F.col("a._n"),
+                    # (same 1e-9 guard as npfx: t*|S| can round UP past an
+                    # exact integer bound and wrongly exclude the pair)
+                    F.col("a._n") * F.lit(float(threshold)) - F.lit(1e-9)
+                    <= F.col("b._n"),
+                    F.col("b._n") * F.lit(float(threshold)) - F.lit(1e-9)
+                    <= F.col("a._n"),
                 ],
             )
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))

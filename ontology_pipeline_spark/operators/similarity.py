@@ -142,13 +142,21 @@ def ivf_index(
     becomes partition pruning on the scan — the IVF analog of the sign-LSH
     bucket predicate above.  Centroids (n_centroids x dim) are tiny and live
     on the driver / in the query plan as literals.
+
+    Vectors are L2-NORMALIZED before fitting/assignment: the downstream
+    search metric is cosine, and on the unit sphere Euclidean k-means order
+    equals cosine order — without this, a small-norm vector directionally
+    aligned with a query can be Euclidean-assigned to an origin-hugging cell
+    whose centroid points elsewhere, and the true top-cosine neighbor sits
+    in a cell the probe ranking never selects.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = embeddings.withColumn(
-        "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+    feat = embeddings.withColumn("_fv", array_to_vector(unit))
     model = KMeans(
         k=n_centroids,
         maxIter=max_iter,

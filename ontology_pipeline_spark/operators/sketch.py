@@ -40,7 +40,11 @@ def kmv_sketch(
     Returns group_cols + `sketch` (sorted array<double>, length <= k).
     """
     hashed = (
-        df.select(*group_cols, _unit_hash(F.col(value_col)).alias("_h"))
+        # COUNT(DISTINCT) semantics: NULL is not a value.  xxhash64(NULL)
+        # returns the seed hash (never null), so without this filter every
+        # NULL would enter the sketch as one phantom distinct value.
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, _unit_hash(F.col(value_col)).alias("_h"))
         .dropDuplicates([*group_cols, "_h"])
     )
     # pre-prune to k per group before the final aggregation (bounded state
@@ -48,8 +52,14 @@ def kmv_sketch(
     # exchange, same mechanism as top-k dedup)
     w = Window.partitionBy(*group_cols).orderBy("_h")
     pruned = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
-    return pruned.groupBy(*group_cols).agg(
+    sk = pruned.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("_h")).alias("sketch")
+    )
+    # groups whose values are all NULL must still appear (with an empty
+    # sketch -> estimate 0), matching GROUP BY + COUNT(DISTINCT)
+    groups = df.select(*group_cols).distinct()
+    return groups.join(sk, list(group_cols), "left").withColumn(
+        "sketch", F.coalesce(F.col("sketch"), F.array().cast("array<double>"))
     )
 
 

@@ -52,17 +52,24 @@ def asof_join(
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
 
+    # the right timestamp travels under a private name so that the common
+    # call shape left_ts == right_ts (both sides named "ts") never collides
+    # inside the pandas merge; it is exposed in the output only when the
+    # caller lists right_ts in right_cols (clash guard above then ensures the
+    # name is free on the left)
     r = right.select(
-        F.col(right_key).alias(key), right_ts, *[c for c in right_cols if c != right_ts]
+        F.col(right_key).alias(key),
+        F.col(right_ts).alias("_rts"),
+        *[c for c in right_cols if c != right_ts],
     )
+    expose_rts = right_ts in right_cols
+    right_field_types = {f.name: f.dataType for f in right.schema.fields}
     out_fields = list(left.schema.fields) + [
-        T.StructField(f.name, f.dataType, True)
-        for f in r.schema.fields
-        if f.name in right_cols
+        T.StructField(c, right_field_types[c], True) for c in right_cols
     ]
     schema = T.StructType(out_fields)
     left_cols = list(left.columns)
-    attach = [c for c in right_cols]
+    attach = list(right_cols)
 
     def merge(l: pd.DataFrame, r_: pd.DataFrame) -> pd.DataFrame:
         if l.empty:
@@ -73,12 +80,17 @@ def asof_join(
             for c in attach:
                 out[c] = None
             return out[left_cols + attach]
-        r_ = r_.sort_values([right_ts] + tiebreak, kind="mergesort").drop(columns=[key])
+        sort_keys = ["_rts"] + [c for c in tiebreak if c != right_ts]
+        r_ = r_.sort_values(sort_keys, kind="mergesort").drop(columns=[key])
         # merge_asof needs identical temporal dtypes on both 'on' columns
         unit = "datetime64[ns]"
         l = l.assign(_on=l[left_ts].astype(unit))
-        r_ = r_.assign(_on=r_[right_ts].astype(unit))
+        r_ = r_.assign(_on=r_["_rts"].astype(unit))
+        if not expose_rts:
+            r_ = r_.drop(columns=["_rts"])
         out = pd.merge_asof(l, r_, on="_on", direction="backward")
+        if expose_rts:
+            out = out.rename(columns={"_rts": right_ts})
         return out[left_cols + attach]
 
     return (

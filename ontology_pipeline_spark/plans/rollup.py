@@ -64,51 +64,69 @@ def refresh_rollup(
 ) -> dict:
     """Incrementally refresh the chunked rollup at `out_dir`.
 
+    Dirtiness is (row count, content fingerprint) per chunk — the
+    fingerprint is an order-insensitive XOR of full-row hashes, so
+    count-preserving edits are detected, not just inserts.  Chunks deleted
+    from the source trigger a full rebuild of the sink (dynamic partition
+    overwrite cannot remove a partition it does not write; deletions are
+    rare in append-mostly event stores, so the rebuild path is the
+    exception).  One bookkeeping aggregate over the source feeds the dirty
+    set, the totals, and the manifest.
+
     Returns {"chunks_total", "chunks_refreshed"}.
     """
     rollup_path = os.path.join(out_dir, "rollup")
     manifest_path = os.path.join(out_dir, "manifest")
 
+    data_cols = [F.col(c) for c in events.columns]
     counts = (
         chunked(events, ts_col, chunk)
         .groupBy("chunk")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(F.xxhash64(*data_cols)).alias("fingerprint"),
+        )
     )
+    new_state = {
+        r["chunk"]: (r["n_rows"], r["fingerprint"]) for r in counts.collect()
+    }
 
+    old_state: dict = {}
     if _exists(manifest_path):
-        old = spark.read.parquet(manifest_path).select(
-            "chunk", F.col("n_rows").alias("old_n_rows")
-        )
-        dirty = (
-            counts.join(old, "chunk", "left")
-            .filter(
-                F.col("old_n_rows").isNull() | (F.col("n_rows") != F.col("old_n_rows"))
-            )
-            .select("chunk", "n_rows")
-        )
-    else:
-        dirty = counts
-    dirty_chunks = [r["chunk"] for r in dirty.collect()]
-    total = counts.count()
-    if not dirty_chunks:
-        return {"chunks_total": total, "chunks_refreshed": 0}
+        old_state = {
+            r["chunk"]: (r["n_rows"], r["fingerprint"])
+            for r in spark.read.parquet(manifest_path).collect()
+        }
+    dirty = [c for c, s in new_state.items() if old_state.get(c) != s]
+    deleted = [c for c in old_state if c not in new_state]
+    total = len(new_state)
 
-    agg = rollup_events(
-        chunked(events, ts_col, chunk).filter(F.col("chunk").isin(dirty_chunks)).drop("chunk"),
-        ts_col,
-        chunk,
-    )
-    (
-        agg.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("chunk")
-        .parquet(rollup_path)
-    )
-    # manifest is tiny (one row per chunk): full rewrite each refresh
-    counts.withColumn("refreshed_at", F.current_timestamp()).write.mode(
-        "overwrite"
-    ).parquet(manifest_path)
-    return {"chunks_total": total, "chunks_refreshed": len(dirty_chunks)}
+    if dirty or deleted:
+        ev = chunked(events, ts_col, chunk)
+        if deleted:
+            # full rebuild: plain overwrite drops the stale partitions
+            rollup_events(events, ts_col, chunk).write.mode("overwrite").partitionBy(
+                "chunk"
+            ).parquet(rollup_path)
+            dirty = list(new_state)
+        else:
+            agg = rollup_events(
+                ev.filter(F.col("chunk").isin(dirty)).drop("chunk"), ts_col, chunk
+            )
+            (
+                agg.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("chunk")
+                .parquet(rollup_path)
+            )
+        # manifest is tiny (one row per chunk): full rewrite each refresh
+        spark.createDataFrame(
+            [(c, n, fp) for c, (n, fp) in new_state.items()],
+            schema="chunk timestamp, n_rows long, fingerprint long",
+        ).withColumn("refreshed_at", F.current_timestamp()).write.mode(
+            "overwrite"
+        ).parquet(manifest_path)
+    return {"chunks_total": total, "chunks_refreshed": len(dirty)}
 
 
 def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ontology_pipeline_spark.operators.dedup import (
@@ -67,6 +68,35 @@ def test_ngram_jaccard_prefix_filter_equivalence(spark):
     full = ngram_jaccard_pairs(_docs(spark), prefix_filter=False, **kw)
     as_set = lambda df: {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
     assert as_set(pref) == as_set(full)
+
+
+def test_ngram_jaccard_prefix_float_boundary(spark):
+    """Regression: threshold*|S| mathematically integer but rounding UP in
+    float (t=39/76, |S|=228 -> 117.00000000000001) used to shorten the
+    prefix by one and drop a qualifying pair."""
+    shared = [f"s{i}" for i in range(117)]
+    a_only = [f"a{i}" for i in range(111)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(shared + a_only), "en", "x"),
+            (1, " ".join(shared), "en", "x"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    kw = dict(block_cols=["lang", "source"], n=1, threshold=39 / 76)
+    pref = ngram_jaccard_pairs(docs, prefix_filter=True, **kw).collect()
+    full = ngram_jaccard_pairs(docs, prefix_filter=False, **kw).collect()
+    assert len(full) == 1
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in pref} == {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in full
+    }
+
+
+def test_ngram_jaccard_salt_with_prefix_filter_rejected(spark):
+    with pytest.raises(ValueError, match="salt"):
+        ngram_jaccard_pairs(
+            _docs(spark), block_cols=["lang"], salt=4, prefix_filter=True
+        )
 
 
 def test_ngram_jaccard_prefix_filter_equivalence_corpus(spark):

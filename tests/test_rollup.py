@@ -57,6 +57,31 @@ def test_incremental_refresh_only_dirty_chunks(spark, tmp_path):
     assert _sorted(read_rollup(spark, out)) == _sorted(rollup_events(e2, "ts", "day"))
 
 
+def test_refresh_detects_count_preserving_edit_and_deleted_chunk(spark, tmp_path):
+    """Regression: a value edit with unchanged row count must dirty the
+    chunk (content fingerprint), and a chunk deleted from the source must
+    disappear from the rollup (full-rebuild path)."""
+    out = str(tmp_path / "agg")
+    base = _rows([(1, 4), (2, 4)])
+    refresh_rollup(spark, _events(spark, base), out)
+
+    # same shape, one value changed in day 1
+    edited = [
+        (eid, ts, et, 99.0 if eid == 0 else v) for (eid, ts, et, v) in base
+    ]
+    s = refresh_rollup(spark, _events(spark, edited), out)
+    assert s == {"chunks_total": 2, "chunks_refreshed": 1}
+    e2 = _events(spark, edited)
+    assert _sorted(read_rollup(spark, out)) == _sorted(rollup_events(e2, "ts", "day"))
+
+    # drop day 2 entirely
+    day1_only = [r for r in edited if r[1].day == 1]
+    e3 = _events(spark, day1_only)
+    s2 = refresh_rollup(spark, e3, out)
+    assert s2["chunks_total"] == 1
+    assert _sorted(read_rollup(spark, out)) == _sorted(rollup_events(e3, "ts", "day"))
+
+
 def test_rollup_on_testdata_matches_direct_aggregate(spark, tmp_path):
     out = str(tmp_path / "agg")
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -70,6 +70,35 @@ def test_lsh_bucket_prunes(spark):
     assert n_buckets > 10  # spread across many buckets => real pruning
 
 
+def test_ivf_ann_mixed_norms(spark):
+    """Regression: small-norm vectors directionally aligned with the query
+    must not be lost to an origin-hugging Euclidean cell — vectors are
+    L2-normalized before the k-means fit, so cells follow direction, not
+    magnitude."""
+    import random
+
+    rng = random.Random(3)
+    dim = 8
+    d1 = [1.0] + [0.0] * (dim - 1)
+    rows = []
+    # 30 tiny-norm vectors aligned with d1 (the true cosine neighbors)
+    for i in range(30):
+        rows.append((i, [0.05 * (c + rng.gauss(0, 0.05)) for c in d1]))
+    # 3 other directions with large norms, 30 vectors each
+    for b in range(3):
+        center = [rng.gauss(0, 1) * 10 for _ in range(dim)]
+        for i in range(30):
+            rows.append((100 + b * 30 + i, [c + rng.gauss(0, 0.5) for c in center]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = [r["vec_id"] for r in cosine_topk(emb, d1, k=10).collect()]
+    ann = [
+        r["vec_id"]
+        for r in ivf_ann_topk(emb, d1, k=10, n_centroids=4, n_probe=1, seed=11).collect()
+    ]
+    assert set(exact) == set(ann)  # all top-10 are tiny-norm aligned vectors
+
+
 def test_ivf_ann_high_recall_on_clustered_data(spark):
     """IVF cells adapt to the data distribution: on blob-clustered vectors a
     small n_probe recovers (nearly) the full exact top-k."""

@@ -50,6 +50,16 @@ def test_merge_equals_sketch_of_union(spark):
     assert merged.collect()[0]["sketch"] == union_sketch.collect()[0]["sketch"]
 
 
+def test_nulls_excluded_like_count_distinct(spark):
+    """Regression: NULL values must not enter the sketch (COUNT(DISTINCT)
+    semantics), and an all-NULL group still appears with estimate 0."""
+    df = spark.createDataFrame(
+        [("a", "v1"), ("a", None), ("a", "v2"), ("b", None)], ["g", "v"]
+    )
+    got = {r["g"]: r["est_distinct"] for r in estimate_distinct(df, ["g"], "v", K).collect()}
+    assert got == {"a": 2.0, "b": 0.0}
+
+
 def test_deterministic_across_runs(spark):
     df = _df(spark, {"x": 1000}).repartition(16)
     e1 = estimate_distinct(df, ["g"], "v", K).collect()[0]["est_distinct"]

@@ -91,6 +91,21 @@ def test_asof_join_matches_window_formulation(spark):
     assert got.count() > 0
 
 
+def test_asof_join_same_ts_name_both_sides(spark):
+    """The natural call shape: both sides name their timestamp 'ts' and only
+    value columns are attached (regression: used to KeyError inside the
+    pandas worker via merge-suffixing)."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts(5)), (2, "a", _ts(1))], ["event_id", "sym", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(2), 10.0), ("a", _ts(4), 20.0)], ["sym", "ts", "price"]
+    )
+    out = asof_join(left, right, key="sym", right_cols=["price"])
+    rows = {r["event_id"]: r["price"] for r in out.collect()}
+    assert rows == {1: 20.0, 2: None}
+
+
 def test_asof_join_rejects_column_clash(spark):
     df = spark.createDataFrame([(1, _ts(1))], ["k", "ts"])
     with pytest.raises(ValueError, match="collide"):
