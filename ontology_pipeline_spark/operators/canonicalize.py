@@ -38,17 +38,30 @@ def connected_components(
 
     Labels are the node strings themselves; the representative of each
     component is its lexicographically smallest member (deterministic).
+    Every non-null endpoint gets a row, including nodes whose only edges
+    have a null partner (they become their own singleton component).
+
+    Each round combines one-hop neighbor-min propagation with pointer
+    jumping (label := label of my label), so convergence is O(log diameter)
+    rounds, not O(diameter); with the default max_iter=20 that covers
+    components of astronomically larger diameter than any co-reference
+    graph.  If the loop still exhausts without converging, this RAISES
+    rather than returning silently-unmerged components.
     """
+    pair = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pair.union(pair.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    # self-edges keep isolated-after-filter nodes alive
-    nodes = sym.select(F.col("a").alias("node")).distinct()
+    nodes = (
+        pair.select(F.explode(F.array("a", "b")).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         # candidate label for each node = min(label of neighbors, own label).
         # Two-phase (salted partial min, then final min) so a super-node's
@@ -60,13 +73,20 @@ def connected_components(
         )
         partial = neigh.groupBy("node", "_salt").agg(F.min("component").alias("component"))
         cand = partial.groupBy("node").agg(F.min("component").alias("cand"))
+        # pointer jumping: my label's current label (path halving)
+        parent = labels.select(
+            F.col("node").alias("component"), F.col("component").alias("_parent")
+        )
         new_labels = (
             labels.join(cand, "node", "left")
+            .join(parent, "component", "left")
             .select(
                 "node",
-                F.least(F.col("component"), F.coalesce(F.col("cand"), F.col("component"))).alias(
-                    "component"
-                ),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("cand"), F.col("component")),
+                    F.coalesce(F.col("_parent"), F.col("component")),
+                ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
@@ -79,7 +99,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (components deeper than 2^max_iter hops)"
+        )
     return labels
 
 

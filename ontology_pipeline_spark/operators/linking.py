@@ -44,7 +44,11 @@ def link_exact(surfaces: DataFrame, lexicon: DataFrame, surface_col: str = "surf
             F.col("canonical_name").alias("linked_canonical"),
             F.col("entity_class").alias("linked_class"),
         )
-        .dropDuplicates(["_alias_lc", "linked_class"])
+        # deterministic winner when a caller-supplied lexicon maps the same
+        # (alias, class) to several canonicals: smallest canonical wins
+        # (dropDuplicates alone keeps an arbitrary partition-order row)
+        .groupBy("_alias_lc", "linked_class")
+        .agg(F.min("linked_canonical").alias("linked_canonical"))
     )
     return surfaces.join(
         F.broadcast(dict_df),
@@ -98,7 +102,11 @@ def link_fuzzy(
     joined = lsh_model.approxSimilarityJoin(
         left_f, right_f, jaccard_max_distance, distCol="jaccard_distance"
     )
-    w = Window.partitionBy("surface").orderBy("jaccard_distance", "linked_canonical")
+    # linked_class in the tie-break: a canonical present in two entity
+    # classes must resolve the class deterministically too
+    w = Window.partitionBy("surface").orderBy(
+        "jaccard_distance", "linked_canonical", "linked_class"
+    )
     return (
         joined.select(
             F.col("datasetA.surface").alias("surface"),
@@ -126,6 +134,10 @@ def link_entities(
     )
     if not fuzzy:
         return exact
+    # the exact join feeds four consumers (miss check, fuzzy left side, the
+    # repair join, and the final hit filter) — cache it so the surfaces scan
+    # + broadcast join run once, not per consumer
+    exact = exact.cache()
     misses = exact.filter(F.col("linked_canonical").isNull()).drop(
         "linked_canonical", "linked_class", "link_method"
     )

@@ -39,6 +39,12 @@ def _compile(lexicon_rows: tuple) -> tuple:
     for entity_class, canonical, alias, _parent, _unit in lexicon_rows:
         lookup.setdefault(alias.lower(), []).append((canonical, entity_class))
     surfaces = sorted(lookup, key=len, reverse=True)  # longest-first alternation
+    if not surfaces:
+        # empty lexicon: no mentions (an empty alternation "()" would match
+        # the empty string at every position and KeyError in the lookup)
+        compiled = (None, lookup)
+        _MATCHER_CACHE[key] = compiled
+        return compiled
     pattern = re.compile(
         "(?<![A-Za-z0-9])(" + "|".join(re.escape(s) for s in surfaces) + ")(?![A-Za-z0-9])",
         re.IGNORECASE,
@@ -52,7 +58,7 @@ def scan_text(
     url: str, text: str | None, pattern: re.Pattern, lookup: dict
 ) -> list[tuple[str, int, int, str, str, str]]:
     """Pure sentence-scan: (url, sent_id, pos, surface, canonical, class) rows."""
-    if not text:
+    if not text or pattern is None:
         return []
     out = []
     for sent_id, sent in enumerate(_SENT_SPLIT.split(text)):

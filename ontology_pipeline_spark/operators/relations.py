@@ -76,7 +76,14 @@ def _pair_triples(ments: list[tuple]) -> list[tuple]:
 
 
 def score_relations(mentions: DataFrame) -> DataFrame:
-    """Mentions table -> triples via self-join on (url, sent_id), pos_a < pos_b.
+    """Mentions table -> triples via self-join on (url, sent_id).
+
+    Logically identical to the fused path (tested as equal multisets): the
+    pair ordering is the lexicographic struct (pos, canonical, entity_class)
+    — strictly `pos_a < pos_b` would DROP distinct mentions sharing a
+    position (one alias in two classes) that the fused i<j loop pairs — and
+    the output is page-local-deduped (`distinct()`, url is a column, so
+    distinct == the fused path's per-page dict.fromkeys).
 
     The join keys (url, sent_id) are high-cardinality, so the shuffle is well
     spread; head-entity skew lives in the *values*, not the keys, and the
@@ -84,12 +91,15 @@ def score_relations(mentions: DataFrame) -> DataFrame:
     """
     a = mentions.alias("a")
     b = mentions.alias("b")
+    order = lambda side: F.struct(
+        F.col(f"{side}.pos"), F.col(f"{side}.canonical"), F.col(f"{side}.entity_class")
+    )
     pairs = a.join(
         b,
         on=[
             F.col("a.url") == F.col("b.url"),
             F.col("a.sent_id") == F.col("b.sent_id"),
-            F.col("a.pos") < F.col("b.pos"),
+            order("a") < order("b"),
         ],
     ).filter(
         ~(
@@ -127,7 +137,34 @@ def score_relations(mentions: DataFrame) -> DataFrame:
             F.col("a.url").alias("url"),
         )
         .filter(F.col("pred").isNotNull())
+        .distinct()
     )
+
+
+def _fused_triples_stage(
+    pages: DataFrame,
+    lexicon_rows: list[tuple],
+    value_col: str,
+    id_col: str,
+    to_text,
+) -> DataFrame:
+    """Shared mapInPandas body for both fused variants: one implementation,
+    parameterized by a per-row text accessor, so pairing/schema/batching can
+    never drift between the text and html entry points."""
+    lex = tuple(tuple(r) for r in lexicon_rows)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pattern, lookup = _compile(lex)
+        cols = ["subj", "subj_class", "pred", "obj", "obj_class", "url"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, val in zip(pdf[id_col], pdf[value_col]):
+                rows.extend(
+                    _pair_triples(scan_text(url, to_text(val), pattern, lookup))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select(id_col, value_col).mapInPandas(run, schema=TRIPLES)
 
 
 def extract_triples_fused(
@@ -137,18 +174,7 @@ def extract_triples_fused(
     id_col: str = "url",
 ) -> DataFrame:
     """pages -> triples in one shuffle-free mapInPandas stage (the hot path)."""
-    lex = tuple(tuple(r) for r in lexicon_rows)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pattern, lookup = _compile(lex)
-        cols = ["subj", "subj_class", "pred", "obj", "obj_class", "url"]
-        for pdf in batches:
-            rows: list[tuple] = []
-            for url, text in zip(pdf[id_col], pdf[text_col]):
-                rows.extend(_pair_triples(scan_text(url, text, pattern, lookup)))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return pages.select(id_col, text_col).mapInPandas(run, schema=TRIPLES)
+    return _fused_triples_stage(pages, lexicon_rows, text_col, id_col, lambda t: t)
 
 
 def extract_triples_from_html(
@@ -167,19 +193,9 @@ def extract_triples_from_html(
     """
     from .extract_text import extract_text_bytes
 
-    lex = tuple(tuple(r) for r in lexicon_rows)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pattern, lookup = _compile(lex)
-        cols = ["subj", "subj_class", "pred", "obj", "obj_class", "url"]
-        for pdf in batches:
-            rows: list[tuple] = []
-            for url, html in zip(pdf[id_col], pdf[html_col]):
-                text = extract_text_bytes(html)
-                rows.extend(_pair_triples(scan_text(url, text, pattern, lookup)))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return pages.select(id_col, html_col).mapInPandas(run, schema=TRIPLES)
+    return _fused_triples_stage(
+        pages, lexicon_rows, html_col, id_col, extract_text_bytes
+    )
 
 
 def distinct_triples(triples: DataFrame, with_url_list: bool = False) -> DataFrame:

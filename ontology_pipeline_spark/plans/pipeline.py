@@ -44,7 +44,9 @@ def build_triples(
     from_html: bool = True,
 ) -> DataFrame:
     """pages -> per-page triples (one shuffle-free fused Python stage)."""
-    lex = lexicon_rows or default_lexicon_rows()
+    # `is None`, not truthiness: an explicitly passed empty lexicon means
+    # "extract nothing", not "use the default vocabulary"
+    lex = default_lexicon_rows() if lexicon_rows is None else lexicon_rows
     if from_html:
         return extract_triples_from_html(pages, lex)
     return extract_triples_fused(pages, lex)
@@ -82,16 +84,24 @@ def run_pipeline(
             "new_triples": 0,
         }
 
+    # Commit protocol (atomicity): triples land under their run_id partition
+    # FIRST, the lineage rows that reference the run_id land SECOND, and
+    # read_triples only surfaces runs present in lineage.  A crash between
+    # the two writes leaves an orphan run partition that readers never see
+    # and the next resume run reprocesses cleanly — no duplicate triples in
+    # the committed view (the Iceberg analog is a single snapshot commit).
     triples = build_triples(pages, lexicon_rows, from_html=from_html)
     triples_b = triples.withColumn(
         "bucket", F.pmod(F.xxhash64("subj"), F.lit(N_SUBJECT_BUCKETS))
-    )
-    triples_b.write.mode("append").partitionBy("bucket").parquet(triples_path)
+    ).withColumn("run_id", F.lit(run_id))
+    triples_b.write.mode("append").partitionBy("run_id", "bucket").parquet(triples_path)
 
     # per-url lineage: every new page commits a row even if it emitted no
-    # triples (negative pages must not be reprocessed forever)
+    # triples (negative pages must not be reprocessed forever).  Reads back
+    # ONLY this run's partition (pruned scan — O(new pages), not O(corpus)).
     per_url = (
         spark.read.parquet(triples_path)
+        .filter(F.col("run_id") == run_id)
         .groupBy("url")
         .agg(F.count(F.lit(1)).alias("n_triples"))
     )
@@ -110,13 +120,7 @@ def run_pipeline(
     )
     lineage.write.mode("append").parquet(lineage_path)
 
-    new_triples = int(
-        spark.read.parquet(lineage_path)
-        .filter(F.col("run_id") == run_id)
-        .agg(F.sum("n_triples"))
-        .first()[0]
-        or 0
-    )
+    new_triples = int(per_url.agg(F.sum("n_triples")).first()[0] or 0)
     summary = {
         "run_id": run_id,
         "total_pages": total_pages,
@@ -135,7 +139,18 @@ def run_pipeline(
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "triples")).drop("bucket")
+    """Committed triples only: runs whose lineage landed.  An orphan run
+    partition (crash after the triples write, before lineage) is invisible
+    here and gets recomputed by the next resume run."""
+    t = spark.read.parquet(os.path.join(out_dir, "triples"))
+    lineage_path = os.path.join(out_dir, "lineage")
+    committed = []
+    if _exists(spark, lineage_path):
+        committed = [
+            r["run_id"]
+            for r in spark.read.parquet(lineage_path).select("run_id").distinct().collect()
+        ]
+    return t.filter(F.col("run_id").isin(committed)).drop("bucket", "run_id")
 
 
 def corpus_triples(spark: SparkSession, out_dir: str) -> DataFrame:

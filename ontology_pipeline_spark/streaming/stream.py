@@ -35,7 +35,8 @@ def read_page_stream(spark: SparkSession, source_dir: str, max_files_per_trigger
 
 def triples_stream(pages_stream: DataFrame, lexicon_rows: list[tuple] | None = None) -> DataFrame:
     """Streaming triples: the same fused stage as batch (stateless map)."""
-    return extract_triples_from_html(pages_stream, lexicon_rows or default_lexicon_rows())
+    lex = default_lexicon_rows() if lexicon_rows is None else lexicon_rows
+    return extract_triples_from_html(pages_stream, lex)
 
 
 def run_stream_once(
@@ -74,20 +75,31 @@ def windowed_mention_counts(
 
     import pandas as pd
 
+    from ..operators.extract_text import extract_text_bytes
     from ..operators.mentions import _compile, scan_text
 
-    lex = tuple(tuple(r) for r in (lexicon_rows or default_lexicon_rows()))
+    lex = tuple(
+        tuple(r) for r in (default_lexicon_rows() if lexicon_rows is None else lexicon_rows)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pattern, lookup = _compile(lex)
         for pdf in batches:
             rows = []
-            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+            for url, ts, text, html in zip(
+                pdf["url"], pdf["warc_ts"], pdf["text"], pdf["html"]
+            ):
+                # html-only pages (the WARC-dump source this module documents)
+                # must still count: fall back to the same pure extractor the
+                # triples stream uses, so the rollup never silently reads 0
+                # while the triple stream is busy
+                if (text is None or text == "") and html is not None:
+                    text = extract_text_bytes(html)
                 for _u, _sid, _pos, _surf, _canon, cls in scan_text(url, text, pattern, lookup):
                     rows.append((ts, cls))
             yield pd.DataFrame(rows, columns=["warc_ts", "entity_class"])
 
-    stamped = pages_stream.select("url", "warc_ts", "text").mapInPandas(
+    stamped = pages_stream.select("url", "warc_ts", "text", "html").mapInPandas(
         run, schema="warc_ts timestamp, entity_class string"
     )
     return (

@@ -79,6 +79,28 @@ def test_cc_chain_converges(spark):
     assert cc.select("component").distinct().count() == 1
 
 
+def test_cc_deep_chain_default_iters(spark):
+    """Pointer jumping makes convergence O(log diameter): a 60-node chain
+    (diameter 59 — far beyond one-hop-per-round reach at max_iter=20) must
+    converge with the DEFAULT budget."""
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(59)], ["src", "dst"]
+    )
+    cc = connected_components(edges)  # default max_iter
+    comp = {r["component"] for r in cc.collect()}
+    assert comp == {"n000"}
+
+
+def test_cc_null_partner_node_kept(spark):
+    """A node whose only edge rows have a null partner still gets its own
+    singleton component (it is a referenced node, not droppable)."""
+    edges = spark.createDataFrame(
+        [("x", None), ("a", "b")], ["src", "dst"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"x": "x", "a": "a", "b": "a"}
+
+
 def test_cc_skewed_head_entity(spark):
     """SURVEY §7 hard-part 4: a head entity (star hub with thousands of
     neighbors — the 'Breast Cancer Risk' shape) plus a chain hanging off one

@@ -47,3 +47,12 @@ def test_word_boundaries(spark):
     # substring inside a larger token must not match ("RERuns" != RER)
     df = spark.createDataFrame([("u1", "RERuns and xRER are not metrics.")], ["url", "text"])
     assert detect_mentions(df, lexicon_rows()).count() == 0
+
+
+def test_empty_lexicon_detects_nothing(spark):
+    """Regression: an empty lexicon must yield zero mentions, not an
+    empty-alternation regex that matches everywhere and KeyErrors."""
+    from ontology_pipeline_spark.operators.mentions import detect_mentions
+
+    df = spark.createDataFrame([("u1", "some text here")], ["url", "text"])
+    assert detect_mentions(df, []).count() == 0

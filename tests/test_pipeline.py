@@ -64,6 +64,37 @@ def test_resume_recomputes_only_missing(spark, tmp_path):
     assert read_triples(spark, out).count() == len(set(corpus.expected_triples))
 
 
+def test_orphan_run_invisible_and_recovered(spark, tmp_path):
+    """Crash between the triples write and the lineage write (simulated by
+    writing a triples run partition with no lineage rows): the orphan run is
+    invisible to read_triples, the next resume run reprocesses its pages,
+    and the committed view has no duplicate rows."""
+    import shutil
+
+    corpus = generate_corpus(n_pages=60, seed=19)
+    src = str(tmp_path / "pages")
+    pages_df(spark, corpus).write.parquet(src)
+    out = str(tmp_path / "kg")
+
+    # simulate the half-committed run: run fully, then delete its lineage
+    run_pipeline(spark, src, out, run_id="run_crashed")
+    before = read_triples(spark, out).count()
+    assert before == len(set(corpus.expected_triples))
+    shutil.rmtree(str(tmp_path / "kg" / "lineage"))
+
+    # orphan partition exists on disk but is not part of the committed view
+    assert read_triples(spark, out).count() == 0
+
+    # resume reprocesses everything; committed view is exact, no duplicates
+    s = run_pipeline(spark, src, out, run_id="run_recovery")
+    assert s["new_pages"] == 60
+    got = [
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in read_triples(spark, out).collect()
+    ]
+    assert sorted(got) == sorted(set(corpus.expected_triples))  # no dup rows
+
+
 def test_negative_pages_commit_lineage(spark, tmp_path):
     corpus = generate_corpus(n_pages=60, seed=3)
     src = str(tmp_path / "pages")

@@ -21,10 +21,49 @@ def test_fused_triples_match_golden(spark, pages, corpus):
 
 
 def test_join_path_equals_fused_path(spark, pages):
+    """MULTISET equality, not set equality — both paths must agree on
+    page-local dedup, not just on which triples exist somewhere."""
     lex = lexicon_rows()
-    fused = _key_set(extract_triples_fused(pages, lex).collect())
-    joined = _key_set(score_relations(detect_mentions(pages, lex)).collect())
+    rows = lambda df: sorted(
+        (r["subj"], r["subj_class"], r["pred"], r["obj"], r["obj_class"], r["url"])
+        for r in df.collect()
+    )
+    fused = rows(extract_triples_fused(pages, lex))
+    joined = rows(score_relations(detect_mentions(pages, lex)))
     assert fused == joined
+
+
+def test_join_path_equals_fused_on_repeats_and_shared_positions(spark):
+    """Regression for the two historical divergences: (a) a mention repeated
+    in one sentence must not double-emit in the join path (page-local dedup);
+    (b) one alias mapped to two classes (same position, two mentions) must
+    pair in BOTH paths, not only the fused one."""
+    from ontology_pipeline_spark.lexicon import simple_lexicon
+
+    lex = simple_lexicon(
+        {"assessment": ["cmj scan"], "construct": ["leg power"]}
+    ) + simple_lexicon({"intervention": ["plyo block"]})
+    # same alias in two classes (same position -> two mentions whose pairing
+    # is observable: assessment+construct => a "measures" triple):
+    lex = lex + [("construct", "cmj scan", "cmj scan", None, None)]
+    df = spark.createDataFrame(
+        [
+            ("u1", "cmj scan measures leg power then cmj scan again"),
+            ("u2", "plyo block improves leg power"),
+        ],
+        ["url", "text"],
+    )
+    rows = lambda d: sorted(
+        (r["subj"], r["subj_class"], r["pred"], r["obj"], r["obj_class"], r["url"])
+        for r in d.collect()
+    )
+    fused = rows(extract_triples_fused(df, lex))
+    joined = rows(score_relations(detect_mentions(df, lex)))
+    assert fused == joined
+    # repeated mention produced ONE row, not two
+    assert len([t for t in fused if t[5] == "u1" and t[0] == "cmj scan"]) == len(
+        {t for t in fused if t[5] == "u1" and t[0] == "cmj scan"}
+    )
 
 
 def test_rule_directions(spark):
