@@ -207,8 +207,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lag -> new-session flag -> per-user session count."""
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = F.timestamp_diff("SECOND", F.lag("ts").over(w), F.col("ts"))
-        is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        # microsecond precision: SECOND-granularity diffs are ambiguous on
+        # microsecond timestamps (Spark truncates elapsed seconds, DuckDB
+        # counts boundary crossings — a 1800.9 s gap classifies differently);
+        # at full precision both engines compute the identical integer
+        gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+        is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
         return (
             e.withColumn("_new", is_new)
             .groupBy("user_id")
@@ -826,7 +830,7 @@ def oracle_sql() -> dict[str, str]:
         WITH g AS (
             SELECT user_id,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                             OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800 * 1000000
                         THEN 1 ELSE 0 END AS is_new
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -43,6 +43,7 @@ __all__ = [
     "extracted_text",
     "fingerprint",
     "lang_id",
+    "norm",
     "punct_ratio",
     "quality_score",
     "simhash",

@@ -24,8 +24,12 @@ from pyspark.sql import functions as F
 
 from .mentions import detect_mentions
 
-# mirrors mentions._SENT_SPLIT so sent_id aligns across stages
-SENT_SPLIT_RE = r"(?<=[.!?])\s+|\n"
+# mirrors mentions._SENT_SPLIT so sent_id aligns across stages.  The (?U)
+# flag makes Java's \s match Unicode whitespace like Python's does (Java \s
+# is ASCII-only by default) — without it a NBSP after a period splits on the
+# Python side but not the JVM side, shifting every later sent_id and
+# attaching constructs/protocol subjects to the wrong sentences.
+SENT_SPLIT_RE = r"(?U)(?<=[.!?])\s+|\n"
 
 # (kind, RE2-safe pattern over the lowercased sentence)
 DEFAULT_CUES: list[tuple[str, str]] = [
@@ -82,14 +86,21 @@ def extract_goals_constraints(
     cues: list[tuple[str, str]] | None = None,
     text_col: str = "text",
     id_col: str = "url",
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """M5 with construct context: cue rows plus the sorted distinct canonical
     constructs mentioned in the same sentence (the reference feeds the pass
-    the constructs list for exactly this association, src/extractor.py:643)."""
+    the constructs list for exactly this association, src/extractor.py:643).
+
+    Pass `mentions` (the S2 output, ideally persisted) to reuse the
+    pipeline's existing mention scan instead of re-running the full
+    mapInPandas pass over pages — at corpus scale the rescan is a redundant
+    full-corpus Python stage."""
     scan = cue_scan(pages, cues, text_col, id_col)
+    if mentions is None:
+        mentions = detect_mentions(pages, lexicon_rows, text_col=text_col, id_col=id_col)
     ments = (
-        detect_mentions(pages, lexicon_rows, text_col=text_col, id_col=id_col)
-        .filter(F.col("entity_class") == "construct")
+        mentions.filter(F.col("entity_class") == "construct")
         .select("url", "sent_id", "canonical")
         .distinct()
     )

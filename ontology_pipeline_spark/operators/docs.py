@@ -79,7 +79,11 @@ def aggregate_entities(docs: DataFrame, entity_field: str, name_key: str, attrs:
         .filter(F.col(f"e.{name_key}").isNotNull() & (F.col(f"e.{name_key}") != ""))
     )
     agg_cols = [
-        F.min_by(F.col(f"e.{a}"), F.col("url")).alias(a) for a in attrs
+        # key includes the attribute value itself so that two same-named
+        # entities within ONE document (url ties) still resolve
+        # deterministically (smallest value wins)
+        F.min_by(F.col(f"e.{a}"), F.struct(F.col("url"), F.col(f"e.{a}"))).alias(a)
+        for a in attrs
     ] + [
         F.sort_array(F.collect_set("url")).alias("files"),
         F.countDistinct("url").alias("n_files"),
@@ -168,15 +172,20 @@ def edges_from_docs(docs: DataFrame) -> DataFrame:
 
 
 def upsert_last_wins(existing: DataFrame, new: DataFrame, key: str, order_col: str) -> DataFrame:
-    """Merge new rows over existing by key; highest order_col wins
-    (reference merge_results last-wins semantics, src/extractor.py:76-104).
-    On Iceberg this is MERGE INTO; expressed here as a window dedup."""
-    w = Window.partitionBy(key).orderBy(F.desc(order_col))
+    """Merge new rows over existing by key; highest order_col wins, and on
+    an order_col TIE the new side wins (reference merge_results last-wins
+    semantics — new rows overwrite old unconditionally,
+    src/extractor.py:76-104).  On Iceberg this is MERGE INTO; expressed here
+    as a window dedup with an explicit side rank so ties never resolve by
+    partition order."""
+    tagged = existing.withColumn("_src", F.lit(0)).unionByName(
+        new.withColumn("_src", F.lit(1)), allowMissingColumns=True
+    )
+    w = Window.partitionBy(key).orderBy(F.desc(order_col), F.desc("_src"))
     return (
-        existing.unionByName(new, allowMissingColumns=True)
-        .withColumn("_rk", F.row_number().over(w))
+        tagged.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .drop("_rk")
+        .drop("_rk", "_src")
     )
 
 

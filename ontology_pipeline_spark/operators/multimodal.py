@@ -96,13 +96,17 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     payloads by slicing duration_ms metadata — real decoders replace the
     frame extraction, the row contract stays."""
     return (
-        media.filter(F.col("kind") == "video")
+        media.filter(
+            # NULL/zero-duration videos have no decodable frames: emitting a
+            # phantom ts=0 row would feed nonexistent frames downstream
+            (F.col("kind") == "video") & (F.coalesce(F.col("duration_ms"), F.lit(0)) > 0)
+        )
         .select(
             "media_id",
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                    F.col("duration_ms") - 1,
                     F.lit(every_ms),
                 )
             ).alias("frame_ts_ms"),

@@ -66,15 +66,21 @@ def extract_protocols(
     patterns: list[tuple[str, str]] | None = None,
     text_col: str = "text",
     id_col: str = "url",
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """M7 with subjects: dosage details grouped per sentence, with the
     assessments/interventions mentioned in the same sentence attached (the
     reference feeds the pass its assessment/intervention lists for exactly
-    this association, src/extractor.py:767-768)."""
+    this association, src/extractor.py:767-768).
+
+    Pass `mentions` (the S2 output, ideally persisted) to reuse the
+    pipeline's existing scan instead of re-running mention detection over
+    the full corpus."""
     details = extract_protocol_details(pages, patterns, text_col, id_col)
+    if mentions is None:
+        mentions = detect_mentions(pages, lexicon_rows, text_col=text_col, id_col=id_col)
     ments = (
-        detect_mentions(pages, lexicon_rows, text_col=text_col, id_col=id_col)
-        .filter(F.col("entity_class").isin("assessment", "intervention"))
+        mentions.filter(F.col("entity_class").isin("assessment", "intervention"))
         .select("url", "sent_id", "canonical", "entity_class")
         .distinct()
     )

@@ -22,18 +22,6 @@ from pyspark.sql import functions as F
 from ..lexicon import ONTOLOGY_VOCAB
 
 
-def _class_entities(cls: str, name_field: str, extra: dict[str, F.Column] | None = None):
-    """collect_set of per-class structs inside a single groupBy pass."""
-    fields = [F.col("canonical").alias(name_field)]
-    for k, v in (extra or {}).items():
-        fields.append(v.alias(k))
-    return F.sort_array(
-        F.collect_set(
-            F.when(F.col("entity_class") == cls, F.struct(*fields))
-        )
-    ).alias(cls)
-
-
 def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> DataFrame:
     """(mentions, triples, pages) -> reference-shaped document rows."""
     parent_map = F.create_map(
@@ -145,7 +133,7 @@ def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> 
     # group per-pair lists: assessment -> constructs_measured,
     # intervention -> constructs_targeted (reference shapes
     # src/prompts.py:565-572, :589-596)
-    def regroup(col, key, out_key, list_key):
+    def regroup(col, key, out_key):
         keys = F.array_distinct(F.transform(col, lambda s: s[key]))
         return F.transform(
             keys,
@@ -162,7 +150,7 @@ def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> 
     )
 
     ac_links = F.transform(
-        regroup(F.col("_ac"), "a", "assessment_name", "_matches"),
+        regroup(F.col("_ac"), "a", "assessment_name"),
         lambda s: F.struct(
             s["assessment_name"].alias("assessment_name"),
             F.transform(s["_matches"], lambda m: m["c"]).alias("constructs_measured"),
@@ -170,7 +158,7 @@ def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> 
         ),
     )
     ic_links = F.transform(
-        regroup(F.col("_ic"), "i", "intervention_name", "_matches"),
+        regroup(F.col("_ic"), "i", "intervention_name"),
         lambda s: F.struct(
             s["intervention_name"].alias("intervention_name"),
             F.transform(s["_matches"], lambda m: m["c"]).alias("constructs_targeted"),
@@ -182,8 +170,8 @@ def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> 
         "url",
         "text_length",
         F.size(F.coalesce(F.col("constructs"), F.array())).cast("long").alias("constructs_identified"),
-        "domains",
-        "constructs",
+        F.coalesce(F.col("domains"), F.array()).alias("domains"),
+        F.coalesce(F.col("constructs"), F.array()).alias("constructs"),
         F.transform(
             F.coalesce(F.col("_assessment_names"), F.array()),
             lambda n: F.struct(
@@ -213,7 +201,7 @@ def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> 
                 F.lit(None).cast("array<string>").alias("used_for_assessments"),
             ),
         ).alias("technologies"),
-        "metrics",
+        F.coalesce(F.col("metrics"), F.array()).alias("metrics"),
         F.struct(
             F.coalesce(F.col("construct_relationships"), F.array()).alias("construct_relationships"),
             F.coalesce(ac_links, F.array()).alias("assessment_construct_links"),

@@ -79,7 +79,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # default to sf0.01 — the scale the DRIVER runs its correctness gate at
+    # (checking at a smaller sf once masked a real boundary-semantics
+    # mismatch in user_sessions that only manifested at sf0.01)
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(master="local[8]", app_name="contract-check", shuffle_partitions=8)
     con = duckdb.connect()

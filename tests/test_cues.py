@@ -47,3 +47,21 @@ def test_goals_constraints_attach_constructs(spark):
     by_key = {(r["url"], r["sent_id"], r["kind"]): list(r["related_constructs"]) for r in out}
     assert by_key[("u1", 0, "client_goal")] == ["Aerobic Capacity", "Sleep Quality"]
     assert by_key[("u1", 2, "moderating_factor")] == []
+
+
+def test_sent_id_alignment_unicode_whitespace(spark):
+    """Regression: Java \\s is ASCII-only by default, so a NBSP after a
+    period split on the Python (mentions) side but not the JVM (sentences)
+    side, shifting every later sent_id.  The (?U) flag aligns them."""
+    from ontology_pipeline_spark.operators.cues import sentences
+    from ontology_pipeline_spark.operators.mentions import _SENT_SPLIT
+
+    text = "Goal reached. She wants to improve sleep quality.\nNext sentence."
+    df = spark.createDataFrame([("u1", text)], ["url", "text"])
+    jvm_sents = {
+        r["sent_id"]: r["sentence"] for r in sentences(df).collect()
+    }
+    py_sents = {
+        i: s for i, s in enumerate(_SENT_SPLIT.split(text)) if s.strip()
+    }
+    assert jvm_sents == py_sents

@@ -27,3 +27,14 @@ def test_upsert_last_wins(spark):
     new = spark.createDataFrame([("u1", 2, "new")], ["url", "run", "val"])
     out = {r["url"]: r["val"] for r in upsert_last_wins(old, new, "url", "run").collect()}
     assert out == {"u1": "new", "u2": "keep"}
+
+
+def test_upsert_tie_new_side_wins(spark):
+    """Regression: on an order_col tie the NEW row must win (reference
+    merge_results overwrites unconditionally), not an arbitrary one."""
+    from ontology_pipeline_spark.operators.docs import upsert_last_wins
+
+    existing = spark.createDataFrame([("k1", 5, "old")], ["url", "ver", "val"])
+    new = spark.createDataFrame([("k1", 5, "new")], ["url", "ver", "val"])
+    out = upsert_last_wins(existing, new, key="url", order_col="ver").collect()
+    assert len(out) == 1 and out[0]["val"] == "new"

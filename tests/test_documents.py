@@ -58,3 +58,22 @@ def test_docs_counts_and_attrs(spark, pages, corpus):
     # JSON export shape parses
     j = docs.limit(2).toJSON().collect()
     assert all(s.startswith("{") for s in j)
+
+
+def test_docs_no_mention_page_gets_empty_arrays(spark):
+    """Regression: pages with zero mentions left domains/constructs/metrics
+    NULL while sibling fields were []; all must be [] (reference shape)."""
+    from ontology_pipeline_spark.lexicon import lexicon_rows
+    from ontology_pipeline_spark.operators.mentions import detect_mentions
+    from ontology_pipeline_spark.operators.relations import extract_triples_fused
+    from ontology_pipeline_spark.plans.documents import assemble_docs
+
+    pages = spark.createDataFrame(
+        [("u_empty", "nothing relevant here at all")], ["url", "text"]
+    )
+    lex = lexicon_rows()
+    doc = assemble_docs(
+        detect_mentions(pages, lex), extract_triples_fused(pages, lex), pages
+    ).collect()[0]
+    for field in ["domains", "constructs", "metrics", "assessments", "interventions", "technologies"]:
+        assert doc[field] == [], field

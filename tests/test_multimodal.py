@@ -51,3 +51,19 @@ def test_video_frame_sampling(spark):
     rows = sample_video_frames(_media(spark), every_ms=1000).collect()
     got = sorted((r["media_id"], r["frame_ts_ms"]) for r in rows)
     assert got == [("m3", 0), ("m3", 1000), ("m3", 2000), ("m3", 3000)]
+
+
+def test_video_frame_sampling_null_and_zero_duration(spark):
+    """Regression: NULL/0-duration videos emitted a phantom ts=0 frame."""
+    from ontology_pipeline_spark.operators.multimodal import sample_video_frames
+
+    media = spark.createDataFrame(
+        [("m1", "video", None), ("m2", "video", 0), ("m3", "video", 2500)],
+        ["media_id", "kind", "duration_ms"],
+    )
+    rows = sample_video_frames(media, every_ms=1000).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert "m1" not in by_id and "m2" not in by_id
+    assert sorted(by_id["m3"]) == [0, 1000, 2000]
