@@ -31,16 +31,22 @@ def get_spark(
     bench pass ``local[N]`` explicitly.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if master is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # plain-python launch: no JVM gateway yet, so no spark-submit master
+        # to defer to — default to local.  Under spark-submit the gateway
+        # already carries the submitted master (yarn/k8s/local[N]) and
+        # setting one here would silently run cluster jobs on the driver.
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] -> N; "local[*]" -> cpu count
-        inner = master.split("[")[-1].rstrip("]") if "[" in master else str(cpus)
+        # local[N] -> N; "local[*]"/deferred -> cpu count
+        inner = master.split("[")[-1].rstrip("]") if master and "[" in master else "*"
         shuffle_partitions = cpus if inner == "*" else int(inner)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
