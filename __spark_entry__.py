@@ -326,6 +326,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distinct_users_kmv"] = distinct_users_kmv
 
+    def props_json_stats(spark, sf):
+        """JSON-path extraction over the events props column (P1 lenient
+        parse semantics: malformed/missing keys become NULL, not errors)."""
+        e = _t(spark, sf, "events")
+        k = F.get_json_object("props", "$.k").cast("long")
+        return (
+            e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(
+                F.count("k").alias("n_with_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+
+    q["props_json_stats"] = props_json_stats
+
     def latest_event_per_user(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -897,6 +914,16 @@ def oracle_sql() -> dict[str, str]:
     o["distinct_users_kmv"] = """
         SELECT event_type, cast(count(DISTINCT user_id) AS DOUBLE) AS est_distinct
         FROM events GROUP BY event_type
+    """
+
+    o["props_json_stats"] = """
+        WITH x AS (
+            SELECT event_type,
+                   try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type, count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k
+        FROM x GROUP BY event_type
     """
 
     o["latest_event_per_user"] = """

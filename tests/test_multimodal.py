@@ -67,3 +67,33 @@ def test_video_frame_sampling_null_and_zero_duration(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert "m1" not in by_id and "m2" not in by_id
     assert sorted(by_id["m3"]) == [0, 1000, 2000]
+
+
+def test_image_dimensions_real_parse(spark):
+    """Header parsing is REAL (pure byte arithmetic): PNG IHDR and JPEG SOF
+    dimensions decode without any imaging library; garbage yields NULLs."""
+    import struct
+
+    from ontology_pipeline_spark.operators.multimodal import image_dimensions
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9   # APP0 (14-byte payload)
+        + b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"                   # DHT (not a frame)
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 3            # SOF0: h=1080 w=1920
+    )
+    media = spark.createDataFrame(
+        [("p1", bytearray(png)), ("j1", bytearray(jpeg)), ("x1", bytearray(b"not an image")), ("n1", None)],
+        "media_id string, payload binary",
+    )
+    got = {r["media_id"]: (r["format"], r["width"], r["height"]) for r in image_dimensions(media).collect()}
+    assert got["p1"] == ("png", 640, 480)
+    assert got["j1"] == ("jpeg", 1920, 1080)
+    assert got["x1"] == (None, None, None)
+    assert got["n1"] == (None, None, None)
