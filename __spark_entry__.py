@@ -343,6 +343,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["props_json_stats"] = props_json_stats
 
+    def parts_by_brand(spark, sf):
+        p = _t(spark, sf, "part")
+        return p.groupBy("p_brand").agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+
+    q["parts_by_brand"] = parts_by_brand
+
+    def suppliers_per_region(spark, sf):
+        """region -> nation -> supplier broadcast-join chain with part-mode
+        revenue stats (exercises the remaining dimension tables)."""
+        s, n, r = (
+            _t(spark, sf, "supplier"),
+            _t(spark, sf, "nation"),
+            _t(spark, sf, "region"),
+        )
+        return (
+            s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_suppliers"),
+                F.countDistinct("n_name").alias("n_nations"),
+                F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+            )
+        )
+
+    q["suppliers_per_region"] = suppliers_per_region
+
     def latest_event_per_user(spark, sf):
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -924,6 +956,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_type, count(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k
         FROM x GROUP BY event_type
+    """
+
+    o["parts_by_brand"] = """
+        SELECT p_brand, count(*) AS n_parts,
+               count(DISTINCT p_type) AS n_types,
+               round(min(p_retailprice), 2) AS min_price,
+               round(max(p_retailprice), 2) AS max_price
+        FROM part GROUP BY p_brand
+    """
+
+    o["suppliers_per_region"] = """
+        SELECT r_name, count(*) AS n_suppliers,
+               count(DISTINCT n_name) AS n_nations,
+               round(max(s_acctbal), 2) AS max_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """
 
     o["latest_event_per_user"] = """
