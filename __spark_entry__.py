@@ -36,7 +36,9 @@ from ontology_pipeline_spark.operators.similarity import (
     lsh_ann_topk,
 )
 from ontology_pipeline_spark.operators.text_analysis import (
+    STOPWORDS,
     fingerprint,
+    lang_id,
     quality_score,
     tokens,
 )
@@ -353,6 +355,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["parts_by_brand"] = parts_by_brand
+
+    def lang_id_confusion(spark, sf):
+        """Language-ID confusion rollup: labeled lang vs the stopword-argmax
+        prediction (deterministic tie-break: min code; 'und' = no evidence)."""
+        d = _t(spark, sf, "documents")
+        return (
+            d.select("lang", lang_id(F.col("text")).alias("predicted"))
+            .groupBy("lang", "predicted")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    q["lang_id_confusion"] = lang_id_confusion
 
     def suppliers_per_region(spark, sf):
         """region -> nation -> supplier broadcast-join chain with part-mode
@@ -964,6 +978,35 @@ def oracle_sql() -> dict[str, str]:
                round(min(p_retailprice), 2) AS min_price,
                round(max(p_retailprice), 2) AS max_price
         FROM part GROUP BY p_brand
+    """
+
+    # lang_id oracle generated from the SAME stopword lists the Spark
+    # expression uses; argmax with min-code tie-break replayed via
+    # list_sort on (hits, code) structs
+    codes = sorted(STOPWORDS)
+    hits_cols = ", ".join(
+        "len(list_intersect(tok, [{}])) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in STOPWORDS[c]), c
+        )
+        for c in codes
+    )
+    gmax = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    structs = ", ".join("{'h': h_%s, 'code': '%s'}" % (c, c) for c in codes)
+    o["lang_id_confusion"] = f"""
+        WITH t AS (
+            SELECT lang,
+                   list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok
+            FROM documents
+        ),
+        h AS (SELECT lang, {hits_cols} FROM t),
+        p AS (
+            SELECT lang,
+                   CASE WHEN {gmax} = 0 THEN 'und'
+                        ELSE (list_sort(list_filter([{structs}], x -> x.h = {gmax})))[1].code
+                   END AS predicted
+            FROM h
+        )
+        SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY lang, predicted
     """
 
     o["suppliers_per_region"] = """
