@@ -28,16 +28,14 @@ BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
 SEED = 42
 
 
-def corpus_path(repo_root: str, n_pages: int, seed: int) -> str:
-    return os.path.join(repo_root, ".bench_data", f"pages_n{n_pages}_s{seed}")
+def _sf_of(sf_dir: str) -> float | None:
+    import re
 
-
-def ensure_corpus(spark, path: str, n_pages: int, seed: int) -> None:
-    from ontology_pipeline_spark.plans.pipeline import _exists
-    from ontology_pipeline_spark.synth import write_corpus
-
-    if not _exists(spark, path):
-        write_corpus(spark, path, n_pages=n_pages, seed=seed)
+    m = re.search(r"sf([0-9.]+)/*$", sf_dir)
+    try:
+        return float(m.group(1)) if m else None
+    except ValueError:
+        return None
 
 
 def main() -> None:
@@ -49,14 +47,14 @@ def main() -> None:
     from ontology_pipeline_spark.lexicon import lexicon_rows
     from ontology_pipeline_spark.plans.pipeline import build_triples
     from ontology_pipeline_spark.session import get_spark
+    from ontology_pipeline_spark.synth import ensure_cached_corpus
 
     spark = get_spark(
         master=f"local[{cpus}]", app_name="bench", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    pages_pq = corpus_path(repo_root, BENCH_PAGES, SEED)
-    ensure_corpus(spark, pages_pq, BENCH_PAGES, SEED)
+    pages_pq = ensure_cached_corpus(spark, repo_root, BENCH_PAGES, SEED)
 
     headline = [
         "q1_pricing_summary",
@@ -119,7 +117,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf_dir.rstrip("/").split("sf")[-1]),
+                "sf": _sf_of(sf_dir),
                 "kg_pages": BENCH_PAGES,
                 "kg_triples": int(n_triples),
                 "triples_per_sec": round(n_triples / kg_sec, 1),

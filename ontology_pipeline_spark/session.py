@@ -31,23 +31,27 @@ def get_spark(
     bench pass ``local[N]`` explicitly.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+    deferred = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not deferred:
         # plain-python launch: no JVM gateway yet, so no spark-submit master
         # to defer to — default to local.  Under spark-submit the gateway
         # already carries the submitted master (yarn/k8s/local[N]) and
         # setting one here would silently run cluster jobs on the driver.
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
-        # local[N] -> N; "local[*]"/deferred -> cpu count
-        inner = master.split("[")[-1].rstrip("]") if master and "[" in master else "*"
-        shuffle_partitions = cpus if inner == "*" else int(inner)
+    if shuffle_partitions is None and not deferred:
+        # local[N] or local[N,maxFailures] -> N; "local[*]" -> cpu count
+        inner = master.split("[")[-1].rstrip("]").split(",")[0] if "[" in master else ""
+        shuffle_partitions = int(inner) if inner.isdigit() else cpus
 
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
+    if shuffle_partitions is not None:
+        # under a deferred (spark-submit) launch with no explicit request,
+        # the submitted --conf spark.sql.shuffle.partitions wins untouched
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = (
         builder
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -162,3 +162,26 @@ def write_corpus(
     corpus = generate_corpus(n_pages, seed)
     pages_df(spark, corpus).repartition(n_files, "url").write.mode("overwrite").parquet(path)
     return corpus
+
+
+# Bump when generation changes (templates, vocabulary, skew profile): the
+# bench corpus cache key includes it, so stale cached corpora are never
+# silently reused across generator versions.
+SYNTH_VERSION = 1
+
+
+def corpus_cache_path(root: str, n_pages: int, seed: int) -> str:
+    import os
+
+    return os.path.join(root, ".bench_data", f"pages_v{SYNTH_VERSION}_n{n_pages}_s{seed}")
+
+
+def ensure_cached_corpus(spark, root: str, n_pages: int, seed: int) -> str:
+    """Generate the bench corpus once per (version, size, seed); plain
+    os.path check — no Spark job just to probe existence."""
+    import os
+
+    path = corpus_cache_path(root, n_pages, seed)
+    if not os.path.isdir(path):
+        write_corpus(spark, path, n_pages=n_pages, seed=seed)
+    return path

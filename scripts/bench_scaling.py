@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -38,7 +37,9 @@ RUNS = 5
 
 
 def corpus_path() -> str:
-    return os.path.join(REPO, ".bench_data", f"pages_n{N_PAGES}_s{SEED}")
+    from ontology_pipeline_spark.synth import corpus_cache_path
+
+    return corpus_cache_path(REPO, N_PAGES, SEED)
 
 
 def worker(cores: int) -> None:
@@ -74,7 +75,7 @@ def worker(cores: int) -> None:
         t0 = time.perf_counter()
         job()
         times.append(time.perf_counter() - t0)
-    med = min(times)
+    best = min(times)
     print(
         json.dumps(
             {
@@ -83,9 +84,9 @@ def worker(cores: int) -> None:
                 "emitted_triples": n_triples,
                 "distinct_triples": n_distinct,
                 "times": [round(t, 3) for t in times],
-                "best_sec": round(med, 3),
-                "triples_per_sec": round(n_triples / med, 1),
-                "pages_per_sec": round(N_PAGES / med, 1),
+                "best_sec": round(best, 3),
+                "triples_per_sec": round(n_triples / best, 1),
+                "pages_per_sec": round(N_PAGES / best, 1),
             }
         )
     )
@@ -117,15 +118,16 @@ def _hw_ceiling() -> tuple[float, float]:
 
 
 def ensure_corpus() -> None:
-    from ontology_pipeline_spark.plans.pipeline import _exists
+    # plain path probe first: no throwaway JVM when the corpus is cached
+    if os.path.isdir(corpus_path()):
+        return
     from ontology_pipeline_spark.session import get_spark
     from ontology_pipeline_spark.synth import write_corpus
 
     spark = get_spark(master="local[32]", app_name="gen", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    if not _exists(spark, corpus_path()):
-        print(f"generating corpus: {N_PAGES} pages ...", file=sys.stderr)
-        write_corpus(spark, corpus_path(), n_pages=N_PAGES, seed=SEED)
+    print(f"generating corpus: {N_PAGES} pages ...", file=sys.stderr)
+    write_corpus(spark, corpus_path(), n_pages=N_PAGES, seed=SEED)
     spark.stop()
 
 

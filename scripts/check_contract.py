@@ -8,9 +8,10 @@ Usage: python scripts/check_contract.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
@@ -30,6 +31,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]").map(
                 lambda v: v.isoformat() if pd.notna(v) else None
             )
+        elif "float" in str(df[c].dtype):
+            # round BEFORE sorting: sub-tolerance float differences must not
+            # reorder the two frames against each other (a misaligned sort
+            # would then zip row A against row B and report false mismatches)
+            df[c] = df[c].round(9)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -91,6 +97,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
