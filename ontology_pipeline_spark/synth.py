@@ -95,54 +95,105 @@ def wrap_html(title: str, paragraphs: list[str]) -> bytes:
     return page.encode("utf-8")
 
 
+def _vocab() -> dict[str, list[str]]:
+    return {c: [name for name, _, _ in entries] for c, entries in ONTOLOGY_VOCAB.items()}
+
+
+_BASE_TS = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _gen_page(i: int, rng: random.Random, vocab: dict[str, list[str]]):
+    """One page from the template bank; returns ((url, ts, html, text, lang),
+    mentions, triples).  Consumes `rng` deterministically — the sequential
+    generate_corpus and the per-page-seeded distributed generator share this
+    exact body."""
+    url = f"https://ex{i % 37}.test/p{i}"
+    ts = _BASE_TS + dt.timedelta(seconds=i * 61)
+    lang = "en"
+    mentions, triples = [], []
+    if i % 13 == 12:  # deterministic ~8% negatives
+        lang = "de" if i % 2 == 0 else "fr"
+        sents = [rng.choice(NON_EN_FILLER[lang]) for _ in range(rng.randint(2, 4))]
+        text = "\n".join(sents)
+    else:
+        n_sent = rng.randint(3, 10)
+        sents = []
+        for j in range(n_sent):
+            if rng.random() < 0.25:
+                sents.append(rng.choice(FILLER))
+                continue
+            tmpl, classes, triple_slots = rng.choice(TEMPLATES)
+            names = []
+            for k, cls in enumerate(classes):
+                if cls == "construct" and rng.random() < 0.5:
+                    # head-entity skew
+                    name = rng.choice(HEAD_ENTITIES)
+                else:
+                    name = rng.choice(vocab[cls])
+                # avoid self-loops in construct-construct sentences
+                while cls == "construct" and names and names[-1] == name:
+                    name = rng.choice(vocab["construct"])
+                names.append(name)
+            sents.append(tmpl.format(*names))
+            for k, cls in enumerate(classes):
+                mentions.append((url, names[k], cls))
+            for s_slot, pred, o_slot in triple_slots:
+                triples.append((names[s_slot], pred, names[o_slot], url))
+        text = "\n".join(sents)
+    html = wrap_html(f"Page {i}", text.split("\n"))
+    return (url, ts, html, text, lang), mentions, triples
+
+
 def generate_corpus(n_pages: int = 500, seed: int = 42) -> Corpus:
     """Seeded corpus; ~8% non-English negative pages with no ontology content."""
     rng = random.Random(seed)
-    vocab = {c: [name for name, _, _ in entries] for c, entries in ONTOLOGY_VOCAB.items()}
-    base_ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    vocab = _vocab()
 
     pages, mentions, triples = [], [], []
     hashes: dict[str, str] = {}
-
     for i in range(n_pages):
-        url = f"https://ex{i % 37}.test/p{i}"
-        ts = base_ts + dt.timedelta(seconds=i * 61)
-        lang = "en"
-        if i % 13 == 12:  # deterministic ~8% negatives
-            lang = "de" if i % 2 == 0 else "fr"
-            sents = [rng.choice(NON_EN_FILLER[lang]) for _ in range(rng.randint(2, 4))]
-            text = "\n".join(sents)
-        else:
-            n_sent = rng.randint(3, 10)
-            sents = []
-            for j in range(n_sent):
-                if rng.random() < 0.25:
-                    sents.append(rng.choice(FILLER))
-                    continue
-                tmpl, classes, triple_slots = rng.choice(TEMPLATES)
-                names = []
-                for k, cls in enumerate(classes):
-                    if cls == "construct" and rng.random() < 0.5:
-                        # head-entity skew
-                        name = rng.choice(HEAD_ENTITIES)
-                    else:
-                        name = rng.choice(vocab[cls])
-                    # avoid self-loops in construct-construct sentences
-                    while cls == "construct" and names and names[-1] == name:
-                        name = rng.choice(vocab["construct"])
-                    names.append(name)
-                sents.append(tmpl.format(*names))
-                for k, cls in enumerate(classes):
-                    mentions.append((url, names[k], cls))
-                for s_slot, pred, o_slot in triple_slots:
-                    triples.append((names[s_slot], pred, names[o_slot], url))
-            text = "\n".join(sents)
-        html = wrap_html(f"Page {i}", text.split("\n"))
-        pages.append((url, ts, html, text, lang))
-        hashes[url] = hashlib.sha256(text.encode("utf-8")).hexdigest()
+        page, m, t = _gen_page(i, rng, vocab)
+        pages.append(page)
+        mentions.extend(m)
+        triples.extend(t)
+        hashes[page[0]] = hashlib.sha256(page[3].encode("utf-8")).hexdigest()
 
     return Corpus(pages, expected_mentions=sorted(set(mentions)),
                   expected_triples=triples, text_sha256=hashes)
+
+
+def distributed_pages(spark, n_pages: int, seed: int = 7, partitions: int | None = None):
+    """Pages generated ON THE EXECUTORS — per-page seeded RNG inside
+    mapInPandas, so the driver never holds the corpus.  This is the only way
+    to synthesize 10^7+ pages (the sequential generator keeps pages AND the
+    golden mention/triple lists in driver RAM: measured >24 GB at 10M pages)
+    and the shape a real cluster-scale data generator takes.
+
+    Content distribution matches generate_corpus (same template bank via
+    _gen_page); the RNG stream differs (per-page seed vs one sequential
+    stream), so goldens-by-construction apply per run, not across the two
+    generators."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .schemas import PAGES
+
+    vocab = _vocab()
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 4
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = random.Random(seed * 1_000_003 + int(i))
+                page, _m, _t = _gen_page(int(i), rng, vocab)
+                rows.append(page)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n_pages, numPartitions=partitions).mapInPandas(gen, schema=PAGES)
 
 
 def pages_df(spark, corpus: Corpus):

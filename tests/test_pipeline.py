@@ -106,3 +106,20 @@ def test_negative_pages_commit_lineage(spark, tmp_path):
     # non-English negatives committed with zero triples
     zero = lineage.filter(F.col("n_triples") == 0).count()
     assert zero >= 1
+
+
+def test_distributed_pages_deterministic_and_extractable(spark):
+    """Executor-side corpus generation: schema matches PAGES, content is
+    deterministic for a seed (partitioning-independent), and the fused
+    extractor finds triples in it."""
+    from ontology_pipeline_spark.lexicon import lexicon_rows
+    from ontology_pipeline_spark.plans.pipeline import build_triples
+    from ontology_pipeline_spark.synth import distributed_pages
+
+    a = distributed_pages(spark, 300, seed=5, partitions=4)
+    b = distributed_pages(spark, 300, seed=5, partitions=11)
+    rows_a = sorted((r["url"], r["text"], r["lang"]) for r in a.collect())
+    rows_b = sorted((r["url"], r["text"], r["lang"]) for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) == 300
+    assert [f.name for f in a.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    assert build_triples(a, lexicon_rows(), from_html=True).count() > 0
