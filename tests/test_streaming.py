@@ -72,3 +72,33 @@ def test_windowed_mention_counts(spark, tmp_path):
     )
     assert total == batch_total
     _ = out
+
+
+def test_windowed_mention_counts_html_only_pages(spark, tmp_path):
+    """Regression: html-only pages (text NULL — the WARC-dump source shape)
+    must still count via the extract_text fallback, not silently report 0."""
+    corpus = generate_corpus(n_pages=40, seed=33)
+    html_only = [(u, ts, html, None, lang) for (u, ts, html, _t, lang) in corpus.pages]
+    src = str(tmp_path / "pages_h")
+    spark.createDataFrame(html_only, schema=PAGES).write.parquet(src)
+
+    q = (
+        windowed_mention_counts(read_page_stream(spark, src), window="1 hour")
+        .writeStream.format("memory")
+        .queryName("win_counts_h")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from win_counts_h").collect()
+    total = sum(r["n_mentions"] for r in rows)
+    # extract_text(html) is byte-identical to the stored text, so the
+    # expected count is just mentions over the original text pages
+    from ontology_pipeline_spark.lexicon import lexicon_rows
+    from ontology_pipeline_spark.operators.mentions import detect_mentions
+
+    batch_total = detect_mentions(
+        spark.createDataFrame(corpus.pages, schema=PAGES), lexicon_rows()
+    ).count()
+    assert total == batch_total > 0
