@@ -332,7 +332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """JSON-path extraction over the events props column (P1 lenient
         parse semantics: malformed/missing keys become NULL, not errors)."""
         e = _t(spark, sf, "events")
-        k = F.get_json_object("props", "$.k").cast("long")
+        # try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+        # THROWS on non-integral values, while the documented contract (and
+        # the DuckDB try_cast oracle) is NULL
+        k = F.get_json_object("props", "$.k").try_cast("long")
         return (
             e.select("event_type", k.alias("k"))
             .groupBy("event_type")
@@ -1000,10 +1003,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         h AS (SELECT lang, {hits_cols} FROM t),
         p AS (
+            -- coalesce: NULL text makes every hit count NULL, which must
+            -- classify as 'und' exactly like the Spark expression's
+            -- otherwise() branch
             SELECT lang,
-                   CASE WHEN {gmax} = 0 THEN 'und'
+                   coalesce(CASE WHEN {gmax} = 0 THEN 'und'
                         ELSE (list_sort(list_filter([{structs}], x -> x.h = {gmax})))[1].code
-                   END AS predicted
+                   END, 'und') AS predicted
             FROM h
         )
         SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY lang, predicted

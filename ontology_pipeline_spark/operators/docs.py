@@ -81,8 +81,12 @@ def aggregate_entities(docs: DataFrame, entity_field: str, name_key: str, attrs:
     agg_cols = [
         # key includes the attribute value itself so that two same-named
         # entities within ONE document (url ties) still resolve
-        # deterministically (smallest value wins)
-        F.min_by(F.col(f"e.{a}"), F.struct(F.col("url"), F.col(f"e.{a}"))).alias(a)
+        # deterministically; the isNull term makes a real value beat NULL
+        # (struct ordering would otherwise rank NULL fields first)
+        F.min_by(
+            F.col(f"e.{a}"),
+            F.struct(F.col("url"), F.col(f"e.{a}").isNull(), F.col(f"e.{a}")),
+        ).alias(a)
         for a in attrs
     ] + [
         F.sort_array(F.collect_set("url")).alias("files"),

@@ -135,9 +135,11 @@ def link_entities(
     if not fuzzy:
         return exact
     # the exact join feeds four consumers (miss check, fuzzy left side, the
-    # repair join, and the final hit filter) — cache it so the surfaces scan
-    # + broadcast join run once, not per consumer
-    exact = exact.cache()
+    # repair join, and the final hit filter) — pin it so the surfaces scan
+    # + broadcast join run once, not per consumer.  localCheckpoint, not
+    # cache(): checkpoint blocks are GC-released with the DataFrame, while a
+    # cache() would leak one copy per call for the session lifetime
+    exact = exact.localCheckpoint(eager=False)
     misses = exact.filter(F.col("linked_canonical").isNull()).drop(
         "linked_canonical", "linked_class", "link_method"
     )

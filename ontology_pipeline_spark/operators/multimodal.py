@@ -96,15 +96,18 @@ def _jpeg_dimensions(b: bytes) -> tuple[int, int] | None:
     import struct
 
     i = 2
-    while i + 9 < len(b):
+    while i + 4 <= len(b):
         if b[i] != 0xFF:
+            return None
+        # spec-legal 0xFF fill bytes may pad the space before a marker
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(b):
             return None
         marker = b[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             i += 2
             continue
-        if i + 4 > len(b):
-            return None
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             if i + 9 > len(b):

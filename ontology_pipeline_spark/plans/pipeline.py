@@ -94,7 +94,15 @@ def run_pipeline(
     triples_b = triples.withColumn(
         "bucket", F.pmod(F.xxhash64("subj"), F.lit(N_SUBJECT_BUCKETS))
     ).withColumn("run_id", F.lit(run_id))
-    triples_b.write.mode("append").partitionBy("run_id", "bucket").parquet(triples_path)
+    # dynamic partition overwrite, not append: retrying a crashed run with
+    # the SAME caller-supplied run_id must replace that run's partitions, or
+    # the retry would append a second copy of every triple under them
+    (
+        triples_b.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id", "bucket")
+        .parquet(triples_path)
+    )
 
     # per-url lineage: every new page commits a row even if it emitted no
     # triples (negative pages must not be reprocessed forever).  Reads back

@@ -82,13 +82,16 @@ def windowed_mention_counts(
         tuple(r) for r in (default_lexicon_rows() if lexicon_rows is None else lexicon_rows)
     )
 
+    # html is optional: a text-only stream (no raw HTML column) stays valid
+    has_html = "html" in pages_stream.columns
+    in_cols = ["url", "warc_ts", "text"] + (["html"] if has_html else [])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pattern, lookup = _compile(lex)
         for pdf in batches:
             rows = []
-            for url, ts, text, html in zip(
-                pdf["url"], pdf["warc_ts"], pdf["text"], pdf["html"]
-            ):
+            htmls = pdf["html"] if has_html else [None] * len(pdf)
+            for url, ts, text, html in zip(pdf["url"], pdf["warc_ts"], pdf["text"], htmls):
                 # html-only pages (the WARC-dump source this module documents)
                 # must still count: fall back to the same pure extractor the
                 # triples stream uses, so the rollup never silently reads 0
@@ -99,7 +102,7 @@ def windowed_mention_counts(
                     rows.append((ts, cls))
             yield pd.DataFrame(rows, columns=["warc_ts", "entity_class"])
 
-    stamped = pages_stream.select("url", "warc_ts", "text", "html").mapInPandas(
+    stamped = pages_stream.select(*in_cols).mapInPandas(
         run, schema="warc_ts timestamp, entity_class string"
     )
     return (

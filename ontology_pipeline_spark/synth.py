@@ -229,10 +229,12 @@ def corpus_cache_path(root: str, n_pages: int, seed: int) -> str:
 
 def ensure_cached_corpus(spark, root: str, n_pages: int, seed: int) -> str:
     """Generate the bench corpus once per (version, size, seed); plain
-    os.path check — no Spark job just to probe existence."""
+    os.path check — no Spark job just to probe existence.  The _SUCCESS
+    marker gates reuse: a directory from an interrupted write must be
+    regenerated, never silently benchmarked as the full corpus."""
     import os
 
     path = corpus_cache_path(root, n_pages, seed)
-    if not os.path.isdir(path):
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_corpus(spark, path, n_pages=n_pages, seed=seed)
     return path

@@ -118,8 +118,9 @@ def _hw_ceiling() -> tuple[float, float]:
 
 
 def ensure_corpus() -> None:
-    # plain path probe first: no throwaway JVM when the corpus is cached
-    if os.path.isdir(corpus_path()):
+    # plain path probe first (no throwaway JVM); _SUCCESS gates reuse so a
+    # partial directory from an interrupted write is regenerated
+    if os.path.exists(os.path.join(corpus_path(), "_SUCCESS")):
         return
     from ontology_pipeline_spark.session import get_spark
     from ontology_pipeline_spark.synth import write_corpus

@@ -39,8 +39,10 @@ def main() -> None:
         REPO, ".bench_data", f"dist_pages_v{SYNTH_VERSION}_n{n_pages}_s{SEED}"
     )
     t0 = time.time()
-    if not os.path.isdir(path):
-        distributed_pages(spark, n_pages, seed=SEED).write.parquet(path)
+    # _SUCCESS gate: a partial directory from an interrupted write must be
+    # regenerated, not silently benchmarked as the full corpus
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        distributed_pages(spark, n_pages, seed=SEED).write.mode("overwrite").parquet(path)
         print(f"generated {n_pages} pages in {time.time()-t0:.1f}s", file=sys.stderr)
 
     total_bytes = sum(

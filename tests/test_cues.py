@@ -56,7 +56,9 @@ def test_sent_id_alignment_unicode_whitespace(spark):
     from ontology_pipeline_spark.operators.cues import sentences
     from ontology_pipeline_spark.operators.mentions import _SENT_SPLIT
 
-    text = "Goal reached. She wants to improve sleep quality.\nNext sentence."
+    text = (
+        "Goal reached.\u00a0She wants to improve sleep quality.\nNext sentence."
+    )
     df = spark.createDataFrame([("u1", text)], ["url", "text"])
     jvm_sents = {
         r["sent_id"]: r["sentence"] for r in sentences(df).collect()

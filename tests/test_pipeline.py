@@ -95,6 +95,28 @@ def test_orphan_run_invisible_and_recovered(spark, tmp_path):
     assert sorted(got) == sorted(set(corpus.expected_triples))  # no dup rows
 
 
+def test_same_run_id_retry_no_duplicates(spark, tmp_path):
+    """Regression: retrying a crashed run with the SAME run_id (lineage
+    deleted to simulate the crash window) must not leave duplicate triples —
+    the run's partitions are overwritten, not appended."""
+    import shutil
+
+    corpus = generate_corpus(n_pages=40, seed=23)
+    src = str(tmp_path / "pages")
+    pages_df(spark, corpus).write.parquet(src)
+    out = str(tmp_path / "kg")
+
+    run_pipeline(spark, src, out, run_id="nightly-1")
+    shutil.rmtree(str(tmp_path / "kg" / "lineage"))  # crash before lineage
+    run_pipeline(spark, src, out, run_id="nightly-1")  # orchestrator retry
+
+    got = [
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in read_triples(spark, out).collect()
+    ]
+    assert sorted(got) == sorted(set(corpus.expected_triples))
+
+
 def test_negative_pages_commit_lineage(spark, tmp_path):
     corpus = generate_corpus(n_pages=60, seed=3)
     src = str(tmp_path / "pages")
