@@ -96,6 +96,10 @@ def _cooccurrence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_mentions(spark, sf_dir)
         .select("url", "canonical", "entity_class")
         .distinct()
+        # pin before the self-join: each side of a self-join re-executes the
+        # mention-scan mapInPandas otherwise (measured 2 Python stages here
+        # and 10 in the ego query's iterated joins)
+        .localCheckpoint(eager=False)
     )
     a, b = m.alias("a"), m.alias("b")
     return (
@@ -473,9 +477,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tri = _cooccurrence_triples(spark, sf).select(
             "subj", "subj_class", "pred", "obj", "obj_class", "url"
         )
-        edges = tri.groupBy("subj", "subj_class", "pred", "obj", "obj_class").agg(
-            F.countDistinct("url").alias("n_docs")
-        ).withColumn("url", F.lit("corpus"))
+        edges = (
+            tri.groupBy("subj", "subj_class", "pred", "obj", "obj_class")
+            .agg(F.countDistinct("url").alias("n_docs"))
+            .withColumn("url", F.lit("corpus"))
+            # ego_edges iterates joins over this frame — pin it so the whole
+            # upstream (mention scan + aggregation) executes once
+            .localCheckpoint(eager=False)
+        )
         ego = ego_edges(edges, "join", hops=1)
         return ego.select("subj", "obj", "n_docs")
 
