@@ -661,12 +661,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from ontology_pipeline_spark.plans.documents import assemble_docs
         from ontology_pipeline_spark.synth import generate_corpus, pages_df
 
+        from ontology_pipeline_spark.operators.relations import score_relations
+
         corpus = generate_corpus(n_pages=200, seed=13)
         pages = pages_df(spark, corpus)
         lex = lexicon_rows()
-        docs = assemble_docs(
-            detect_mentions(pages, lex), extract_triples_fused(pages, lex), pages
-        )
+        # one mention scan pinned and reused by both consumers; triples via
+        # the join path (multiset-equal to the fused path, tested) instead
+        # of a second full-page Python stage
+        ments = detect_mentions(pages, lex).localCheckpoint(eager=False)
+        docs = assemble_docs(ments, score_relations(ments), pages)
         return docs.select(
             "url",
             "text_length",
