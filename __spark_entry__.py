@@ -1238,6 +1238,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT subj AS node, count(DISTINCT obj) AS degree FROM sym GROUP BY subj
     """
 
+    # Flagship KG query: the synthetic corpus's expected triples are known BY
+    # CONSTRUCTION (generate_corpus derives them from the sentence templates,
+    # independently of the extraction operators), so the oracle inlines that
+    # golden set as VALUES and aggregates it with the same groupBy — a full
+    # value-level check of the extraction pipeline, not a re-derivation.
+    from ontology_pipeline_spark.lexicon import ONTOLOGY_VOCAB
+    from ontology_pipeline_spark.synth import generate_corpus
+
+    _cls_of = {
+        name: cls for cls, entries in ONTOLOGY_VOCAB.items() for name, _p, _u in entries
+    }
+    _golden = sorted(set(generate_corpus(n_pages=200, seed=13).expected_triples))
+    _rows = ", ".join(
+        "('{}', '{}', '{}', '{}', '{}', '{}')".format(
+            s.replace("'", "''"), _cls_of[s], p, o.replace("'", "''"), _cls_of[o], u
+        )
+        for s, p, o, u in _golden
+    )
+    o["kg_triples_synthetic"] = f"""
+        SELECT subj, subj_class, pred, obj, obj_class,
+               count(DISTINCT url) AS n_pages
+        FROM (VALUES {_rows}) AS g(subj, subj_class, pred, obj, obj_class, url)
+        GROUP BY subj, subj_class, pred, obj, obj_class
+    """
+
+    # Same by-construction oracle for the reference-shaped document rollup:
+    # golden mentions, golden triples, and the input text lengths are inlined
+    # as VALUES; the SQL re-derives every count the Spark assembly reports.
+    _c13 = generate_corpus(n_pages=200, seed=13)
+    _q = lambda x: str(x).replace("'", "''")
+    _m_rows = ", ".join(
+        f"('{_q(u)}', '{_q(n)}', '{c}')" for u, n, c in sorted(set(_c13.expected_mentions))
+    )
+    _t_rows = ", ".join(
+        f"('{_q(s)}', '{p}', '{_q(obj)}', '{_q(u)}')"
+        for s, p, obj, u in sorted(set(_c13.expected_triples))
+    )
+    _p_rows = ", ".join(f"('{_q(pg[0])}', {len(pg[3])})" for pg in _c13.pages)
+    o["extraction_docs_synthetic"] = f"""
+        WITH m(url, name, cls) AS (VALUES {_m_rows}),
+        t(subj, pred, obj, url) AS (VALUES {_t_rows}),
+        p(url, text_length) AS (VALUES {_p_rows})
+        SELECT p.url,
+               cast(p.text_length AS BIGINT) AS text_length,
+               cast((SELECT count(DISTINCT name) FROM m WHERE m.url = p.url AND cls = 'construct') AS INT) AS constructs_identified,
+               cast((SELECT count(DISTINCT name) FROM m WHERE m.url = p.url AND cls = 'assessment') AS INT) AS n_assessments,
+               cast((SELECT count(DISTINCT name) FROM m WHERE m.url = p.url AND cls = 'intervention') AS INT) AS n_interventions,
+               cast((SELECT count(DISTINCT (subj, pred, obj)) FROM t
+                     WHERE t.url = p.url AND pred IN ('association', 'causal', 'dependency')) AS INT) AS n_construct_rels,
+               cast((SELECT count(DISTINCT subj) FROM t
+                     WHERE t.url = p.url AND pred = 'measures') AS INT) AS n_ac_links
+        FROM p
+        ORDER BY p.url
+    """
+
     # G5 canonicalization: the Spark side runs iterative min-label propagation
     # (salted connected components); the oracle computes the same fixpoint as
     # a recursive-CTE transitive closure + min label per node.  Edges are the
