@@ -657,11 +657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def extraction_docs_synthetic(spark, sf):
         """Reference-shaped per-page extraction documents (flattened scalar
         projection so the driver gets a stable schema)."""
-        from ontology_pipeline_spark.operators.mentions import detect_mentions
+        from ontology_pipeline_spark.operators.relations import score_relations
         from ontology_pipeline_spark.plans.documents import assemble_docs
         from ontology_pipeline_spark.synth import generate_corpus, pages_df
-
-        from ontology_pipeline_spark.operators.relations import score_relations
 
         corpus = generate_corpus(n_pages=200, seed=13)
         pages = pages_df(spark, corpus)
@@ -1249,7 +1247,8 @@ def oracle_sql() -> dict[str, str]:
     _cls_of = {
         name: cls for cls, entries in ONTOLOGY_VOCAB.items() for name, _p, _u in entries
     }
-    _golden = sorted(set(generate_corpus(n_pages=200, seed=13).expected_triples))
+    _c13 = generate_corpus(n_pages=200, seed=13)
+    _golden = sorted(set(_c13.expected_triples))
     _rows = ", ".join(
         "('{}', '{}', '{}', '{}', '{}', '{}')".format(
             s.replace("'", "''"), _cls_of[s], p, o.replace("'", "''"), _cls_of[o], u
@@ -1266,14 +1265,12 @@ def oracle_sql() -> dict[str, str]:
     # Same by-construction oracle for the reference-shaped document rollup:
     # golden mentions, golden triples, and the input text lengths are inlined
     # as VALUES; the SQL re-derives every count the Spark assembly reports.
-    _c13 = generate_corpus(n_pages=200, seed=13)
     _q = lambda x: str(x).replace("'", "''")
     _m_rows = ", ".join(
         f"('{_q(u)}', '{_q(n)}', '{c}')" for u, n, c in sorted(set(_c13.expected_mentions))
     )
     _t_rows = ", ".join(
-        f"('{_q(s)}', '{p}', '{_q(obj)}', '{_q(u)}')"
-        for s, p, obj, u in sorted(set(_c13.expected_triples))
+        f"('{_q(s)}', '{p}', '{_q(obj)}', '{_q(u)}')" for s, p, obj, u in _golden
     )
     _p_rows = ", ".join(f"('{_q(pg[0])}', {len(pg[3])})" for pg in _c13.pages)
     o["extraction_docs_synthetic"] = f"""

@@ -147,18 +147,23 @@ def run_pipeline(
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Committed triples only: runs whose lineage landed.  An orphan run
-    partition (crash after the triples write, before lineage) is invisible
-    here and gets recomputed by the next resume run."""
+    """Committed triples only: the committed view is the semi-join of the
+    triples sink against lineage on (run_id, url).  This makes BOTH crash
+    windows safe: an orphan run partition (crash before any lineage landed)
+    is invisible, and a PARTIAL lineage commit (crash mid-append: some urls'
+    rows landed, others not) exposes exactly the landed urls — the missing
+    urls are reprocessed by the next resume under a new run_id and only that
+    run's copy is visible, never both.  (On Iceberg a single snapshot commit
+    replaces this pair-join.)"""
     t = spark.read.parquet(os.path.join(out_dir, "triples"))
     lineage_path = os.path.join(out_dir, "lineage")
-    committed = []
-    if _exists(spark, lineage_path):
-        committed = [
-            r["run_id"]
-            for r in spark.read.parquet(lineage_path).select("run_id").distinct().collect()
-        ]
-    return t.filter(F.col("run_id").isin(committed)).drop("bucket", "run_id")
+    if not _exists(spark, lineage_path):
+        return t.filter(F.lit(False)).drop("bucket", "run_id")
+    # lineage is one row per processed url — no broadcast hint (at corpus
+    # scale it is NOT small); Catalyst/AQE picks the strategy, and on Iceberg
+    # the snapshot mechanism removes the join entirely
+    committed = spark.read.parquet(lineage_path).select("run_id", "url").distinct()
+    return t.join(committed, ["run_id", "url"], "left_semi").drop("bucket", "run_id")
 
 
 def corpus_triples(spark: SparkSession, out_dir: str) -> DataFrame:

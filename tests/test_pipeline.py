@@ -95,6 +95,41 @@ def test_orphan_run_invisible_and_recovered(spark, tmp_path):
     assert sorted(got) == sorted(set(corpus.expected_triples))  # no dup rows
 
 
+def test_partial_lineage_commit_no_duplicates(spark, tmp_path):
+    """Crash mid-lineage-append (only half the urls' rows landed): the
+    committed view shows exactly the landed urls' triples; resume reprocesses
+    the rest under a new run and nothing is duplicated."""
+    corpus = generate_corpus(n_pages=40, seed=29)
+    src = str(tmp_path / "pages")
+    pages_df(spark, corpus).write.parquet(src)
+    out = str(tmp_path / "kg")
+    lineage_dir = str(tmp_path / "kg" / "lineage")
+
+    run_pipeline(spark, src, out, run_id="r1")
+    lineage_df = spark.read.parquet(lineage_dir)
+    schema = lineage_df.schema
+    lineage = lineage_df.collect()
+    kept_urls = sorted({r["url"] for r in lineage})[:20]
+    kept = [r for r in lineage if r["url"] in set(kept_urls)]
+    import shutil
+
+    shutil.rmtree(lineage_dir)
+    spark.createDataFrame(kept, schema=schema).write.parquet(lineage_dir)
+
+    # committed view = only the landed urls' triples
+    vis = {r["url"] for r in read_triples(spark, out).collect()}
+    assert vis <= set(kept_urls)
+
+    # resume reprocesses the other 20 urls; final view exact, no duplicates
+    s = run_pipeline(spark, src, out, run_id="r2")
+    assert s["new_pages"] == 20
+    got = [
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in read_triples(spark, out).collect()
+    ]
+    assert sorted(got) == sorted(set(corpus.expected_triples))
+
+
 def test_same_run_id_retry_no_duplicates(spark, tmp_path):
     """Regression: retrying a crashed run with the SAME run_id (lineage
     deleted to simulate the crash window) must not leave duplicate triples —
