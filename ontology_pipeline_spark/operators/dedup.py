@@ -403,11 +403,16 @@ def embedding_cosine_pairs(
     use `similarity.lsh_ann` buckets as the blocking key instead.
     """
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    # stage the per-row norm BEFORE the self-join and pin it: evaluating
+    # norm() inside the pair condition would recompute it O(pairs * dim)
+    # instead of O(rows * dim), and the self-join over the computed column
+    # re-evaluates the expression tree per consumer without the pin (same
+    # discipline as the staged shingles above)
     e = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         *( [F.col(block_col)] if block_col else [] ),
-    )
+    ).withColumn("_nrm", norm(F.col("_v"))).localCheckpoint(eager=False)
     a, b = e.alias("a"), e.alias("b")
     cond = [F.col("a._id") < F.col("b._id")]
     if block_col:
@@ -417,7 +422,7 @@ def embedding_cosine_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (norm(F.col("a._v")) * norm(F.col("b._v")))
+    cos = dot / (F.col("a._nrm") * F.col("b._nrm"))
     return (
         a.join(b, cond)
         .select(

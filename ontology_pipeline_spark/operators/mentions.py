@@ -25,13 +25,16 @@ from ..schemas import MENTIONS
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+|\n")
 
-# per-executor compiled-matcher cache, keyed by id of the lexicon tuple
-_MATCHER_CACHE: dict[int, tuple] = {}
+# per-executor compiled-matcher cache, keyed by the lexicon tuple ITSELF —
+# not hash(lexicon_rows): a 64-bit hash collision between two different
+# lexicons would silently return the wrong compiled matcher (wrong mentions,
+# no error).  Dict lookup on the tuple compares full contents on collision.
+_MATCHER_CACHE: dict[tuple, tuple] = {}
 
 
 def _compile(lexicon_rows: tuple) -> tuple:
     """(regex, {lower_surface: [(canonical, entity_class), ...]})"""
-    key = hash(lexicon_rows)
+    key = lexicon_rows
     hit = _MATCHER_CACHE.get(key)
     if hit is not None:
         return hit

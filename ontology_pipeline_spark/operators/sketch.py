@@ -20,13 +20,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# xxhash64 output normalized into [0, 1): (h + 2^63) / 2^64
+# xxhash64 output normalized into [0, 1): (h + 2^63) / 2^64.  The sketch
+# keeps the RAW 64-bit hash as its dedup/sort/prune key — casting to double
+# (53-bit mantissa) before dedup would collide distinct hashes within 2^11 of
+# each other and deflate estimates at large cardinality; normalization happens
+# only inside kmv_estimate, on the single kth value.
 _TWO63 = float(1 << 63)
 _TWO64 = float(1 << 64)
 
 
-def _unit_hash(col: Column) -> Column:
-    return (F.xxhash64(col).cast("double") + F.lit(_TWO63)) / F.lit(_TWO64)
+def _unit(col: Column) -> Column:
+    """Normalize a raw 64-bit hash into [0, 1) (estimate-time only)."""
+    return (col.cast("double") + F.lit(_TWO63)) / F.lit(_TWO64)
 
 
 def kmv_sketch(
@@ -35,16 +40,18 @@ def kmv_sketch(
     value_col: str,
     k: int = 64,
 ) -> DataFrame:
-    """Per group: the k smallest normalized hashes of distinct values.
+    """Per group: the k smallest raw xxhash64 values of distinct values.
 
-    Returns group_cols + `sketch` (sorted array<double>, length <= k).
+    Returns group_cols + `sketch` (sorted array<bigint>, length <= k).
+    Signed-long order equals unit-interval order under the +2^63 shift, so
+    sorting raw hashes and normalizing the kth at estimate time is exact.
     """
     hashed = (
         # COUNT(DISTINCT) semantics: NULL is not a value.  xxhash64(NULL)
         # returns the seed hash (never null), so without this filter every
         # NULL would enter the sketch as one phantom distinct value.
         df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, _unit_hash(F.col(value_col)).alias("_h"))
+        .select(*group_cols, F.xxhash64(F.col(value_col)).alias("_h"))
         .dropDuplicates([*group_cols, "_h"])
     )
     # pre-prune to k per group before the final aggregation (bounded state
@@ -59,15 +66,15 @@ def kmv_sketch(
     # sketch -> estimate 0), matching GROUP BY + COUNT(DISTINCT)
     groups = df.select(*group_cols).distinct()
     return groups.join(sk, list(group_cols), "left").withColumn(
-        "sketch", F.coalesce(F.col("sketch"), F.array().cast("array<double>"))
+        "sketch", F.coalesce(F.col("sketch"), F.array().cast("array<bigint>"))
     )
 
 
 def kmv_estimate(sketch_col: Column, k: int = 64) -> Column:
     """Distinct-count estimate from a KMV sketch column: if the sketch is
-    full, (k-1)/kth_min; else the exact sketch size (all values seen)."""
+    full, (k-1)/unit(kth_min); else the exact sketch size (all values seen)."""
     size = F.size(sketch_col)
-    kth = F.element_at(sketch_col, k)
+    kth = _unit(F.element_at(sketch_col, k))
     return F.when(size < k, size.cast("double")).otherwise(
         F.round(F.lit(float(k - 1)) / kth, 1)
     )

@@ -51,6 +51,14 @@ def asof_join(
     clash = set(right_cols) & set(left.columns)
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    # validate on the DRIVER: a tiebreak column absent from the pandas frame
+    # would otherwise surface as an opaque KeyError deep inside the executor
+    missing_tb = set(tiebreak) - (set(right_cols) | {right_ts})
+    if missing_tb:
+        raise ValueError(
+            f"tiebreak columns must be in right_cols (or be right_ts): "
+            f"missing {sorted(missing_tb)}"
+        )
 
     # the right timestamp travels under a private name so that the common
     # call shape left_ts == right_ts (both sides named "ts") never collides
@@ -71,15 +79,30 @@ def asof_join(
     left_cols = list(left.columns)
     attach = list(right_cols)
 
+    def _null_attach(frame: pd.DataFrame) -> pd.DataFrame:
+        out = frame.copy()
+        for c in attach:
+            out[c] = None
+        return out[left_cols + attach]
+
     def merge(l: pd.DataFrame, r_: pd.DataFrame) -> pd.DataFrame:
         if l.empty:
             return pd.DataFrame(columns=left_cols + attach)
+        # null timestamps would make merge_asof raise (NaT sorts last, then
+        # pandas rejects null/unsorted merge keys) and fail the whole stage;
+        # degrade per-row instead: null-right rows can never be "latest at or
+        # before" (drop), null-left rows match nothing (emit null attach)
+        null_l = l[l[left_ts].isna()]
+        l = l[l[left_ts].notna()]
+        r_ = r_[r_["_rts"].notna()]
+        if l.empty:
+            return _null_attach(null_l)
         l = l.sort_values(left_ts, kind="mergesort")
         if r_.empty:
-            out = l.copy()
-            for c in attach:
-                out[c] = None
-            return out[left_cols + attach]
+            out = _null_attach(l)
+            if not null_l.empty:
+                out = pd.concat([out, _null_attach(null_l)], ignore_index=True)
+            return out
         sort_keys = ["_rts"] + [c for c in tiebreak if c != right_ts]
         r_ = r_.sort_values(sort_keys, kind="mergesort").drop(columns=[key])
         # merge_asof needs identical temporal dtypes on both 'on' columns
@@ -91,7 +114,10 @@ def asof_join(
         out = pd.merge_asof(l, r_, on="_on", direction="backward")
         if expose_rts:
             out = out.rename(columns={"_rts": right_ts})
-        return out[left_cols + attach]
+        out = out[left_cols + attach]
+        if not null_l.empty:
+            out = pd.concat([out, _null_attach(null_l)], ignore_index=True)
+        return out
 
     return (
         left.groupBy(key)
@@ -137,6 +163,11 @@ def bucketized_range_join(
         raise ValueError(f"column collision between sides: {sorted(clash)}")
     w = F.lit(int(bucket_seconds)).cast("long")
     p = points.withColumn("_b", F.floor(_secs(F.col(point_col)) / w))
+    # an inverted interval (end < start, corrupt data) would make F.sequence
+    # step -1 and generate a huge descending bucket range — potentially
+    # millions of rows or a sequence-length-cap job failure.  Such rows can
+    # never satisfy the exact predicate below, so drop them up front.
+    intervals = intervals.filter(F.col(start_col) <= F.col(end_col))
     iv = intervals.withColumn(
         "_b",
         F.explode(

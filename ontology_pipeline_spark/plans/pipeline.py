@@ -71,7 +71,20 @@ def run_pipeline(
     total_pages = pages.count()
 
     if resume and _exists(spark, lineage_path):
-        done = spark.read.parquet(lineage_path).select("url").distinct()
+        # Exclude THIS run_id from the done-set: a same-run_id retry after a
+        # crash mid-lineage-append would otherwise skip the urls whose lineage
+        # rows landed before the crash, and the dynamic (run_id, bucket)
+        # partition overwrite below would then REPLACE bucket partitions that
+        # also hold those urls' triples — permanently losing committed rows
+        # (their lineage would claim them committed with no rows behind it).
+        # Reprocessing the whole run under its own run_id makes the overwrite
+        # complete and idempotent; urls committed under OTHER runs stay skipped.
+        done = (
+            spark.read.parquet(lineage_path)
+            .filter(F.col("run_id") != run_id)
+            .select("url")
+            .distinct()
+        )
         pages = pages.join(done, "url", "left_anti")
 
     pages = pages.localCheckpoint(eager=False)

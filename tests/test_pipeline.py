@@ -152,6 +152,41 @@ def test_same_run_id_retry_no_duplicates(spark, tmp_path):
     assert sorted(got) == sorted(set(corpus.expected_triples))
 
 
+def test_same_run_id_retry_after_partial_lineage(spark, tmp_path):
+    """Regression (ADVICE r1, high): crash mid-lineage-append AND retry under
+    the SAME run_id.  The resume anti-join must NOT treat the current run's
+    partially-landed lineage urls as done — skipping them would make the
+    dynamic (run_id, bucket) partition overwrite replace bucket partitions
+    that still hold those urls' triples, losing them permanently while their
+    lineage rows keep claiming them committed."""
+    import shutil
+
+    corpus = generate_corpus(n_pages=40, seed=31)
+    src = str(tmp_path / "pages")
+    pages_df(spark, corpus).write.parquet(src)
+    out = str(tmp_path / "kg")
+    lineage_dir = str(tmp_path / "kg" / "lineage")
+
+    run_pipeline(spark, src, out, run_id="nightly-2")
+    lineage_df = spark.read.parquet(lineage_dir)
+    schema = lineage_df.schema
+    lineage = lineage_df.collect()
+    kept_urls = set(sorted({r["url"] for r in lineage})[:20])
+    kept = [r for r in lineage if r["url"] in kept_urls]
+    shutil.rmtree(lineage_dir)
+    spark.createDataFrame(kept, schema=schema).write.parquet(lineage_dir)
+
+    # orchestrator retry with the SAME run_id: must reprocess the WHOLE run
+    s = run_pipeline(spark, src, out, run_id="nightly-2")
+    assert s["new_pages"] == 40
+
+    got = [
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in read_triples(spark, out).collect()
+    ]
+    assert sorted(got) == sorted(set(corpus.expected_triples))
+
+
 def test_negative_pages_commit_lineage(spark, tmp_path):
     corpus = generate_corpus(n_pages=60, seed=3)
     src = str(tmp_path / "pages")

@@ -60,6 +60,25 @@ def test_nulls_excluded_like_count_distinct(spark):
     assert got == {"a": 2.0, "b": 0.0}
 
 
+def test_sketch_keeps_long_precision(spark):
+    """Regression (VERDICT r1 #4): the sketch must hold RAW 64-bit hashes,
+    not doubles — a double cast before dedup collides distinct hashes within
+    2^11 of each other and deflates estimates.  Checks dtype and that the
+    estimate equals an exact replay of (k-1)/unit(kth) from the raw longs."""
+    df = _df(spark, {"big": 500})
+    sk = kmv_sketch(df, ["g"], "v", K).collect()[0]["sketch"]
+    assert all(isinstance(h, int) for h in sk) and len(sk) == K
+    assert sk == sorted(sk)
+    kth_unit = (sk[K - 1] + float(1 << 63)) / float(1 << 64)
+    expected = round((K - 1) / kth_unit, 1)
+    est = (
+        spark.range(1)
+        .select(kmv_estimate(F.array(*[F.lit(h) for h in sk]), K).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert est == expected
+
+
 def test_deterministic_across_runs(spark):
     df = _df(spark, {"x": 1000}).repartition(16)
     e1 = estimate_distinct(df, ["g"], "v", K).collect()[0]["est_distinct"]

@@ -112,6 +112,54 @@ def test_asof_join_rejects_column_clash(spark):
         asof_join(df, df, key="k", right_cols=["ts"])
 
 
+def test_asof_join_rejects_unknown_tiebreak(spark):
+    """ADVICE r1: a tiebreak column absent from right_cols must raise a
+    descriptive driver-side ValueError, not an executor KeyError."""
+    left = spark.createDataFrame([(1, "a", _ts(5))], ["event_id", "sym", "ts"])
+    right = spark.createDataFrame([("a", _ts(2), 10.0)], ["sym", "ts", "price"])
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(left, right, key="sym", right_cols=["price"], tiebreak=["nope"])
+
+
+def test_asof_join_null_timestamps_degrade_per_row(spark):
+    """ADVICE r1: null timestamps on either side must not crash the cogrouped
+    stage — null-right rows are dropped (can't be 'latest at or before'),
+    null-left rows come through with null attach columns."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts(5)), (2, "a", None), (3, "b", None)],
+        "event_id int, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(2), 10.0), ("a", None, 99.0), ("b", None, 77.0)],
+        "sym string, ts timestamp, price double",
+    )
+    out = asof_join(left, right, key="sym", right_cols=["price"])
+    rows = {r["event_id"]: r["price"] for r in out.collect()}
+    assert rows == {1: 10.0, 2: None, 3: None}
+
+
+def test_bucketized_range_join_drops_inverted_intervals(spark):
+    """ADVICE r1: an inverted interval (end < start) must not explode a
+    descending bucket sequence (job-killer at wide inversions); it matches
+    nothing and is dropped up front."""
+    from ontology_pipeline_spark.operators.temporal import bucketized_range_join
+
+    points = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 3))], ["pid", "pt"]
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 5)),  # valid
+            (1, dt.datetime(2030, 1, 1), dt.datetime(2024, 1, 1)),  # wide inversion
+        ],
+        ["iid", "start", "end"],
+    )
+    got = bucketized_range_join(
+        points, intervals, "pt", "start", "end", bucket_seconds=86400
+    ).select("pid", "iid")
+    assert {tuple(r) for r in got.collect()} == {(0, 0)}
+
+
 def test_bucketized_range_join_matches_theta_join(spark):
     """Bucketized equi-join formulation must equal the naive theta join,
     including intervals spanning many buckets and boundary points
