@@ -169,6 +169,104 @@ def ivf_index(
     return assigned, centers
 
 
+def sampled_centers(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic seed centroids for a sampled-centroid IVF coarse
+    quantizer: the L2-normalized vectors of the `n_centroids` rows ranked
+    first by (pmod(xxhash64(cast(id AS string)), 2^31-1), id) — a seeded
+    uniform sample any engine can replay exactly (unlike a k-means fit,
+    whose distributed float reductions are not bit-reproducible).
+
+    The top-n is a tree-aggregated orderBy+limit: no full shuffle, and only
+    n_centroids rows reach the driver — centroids are tiny by definition."""
+    v = F.col(vec_col).cast("array<double>")
+    nrm = _norm(v)
+    unit = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+    rows = (
+        embeddings.select(
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit((1 << 31) - 1)
+            ).alias("_rk"),
+            F.col(id_col).alias("_id"),
+            unit.alias("_u"),
+        )
+        .orderBy("_rk", "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["_u"]] for r in rows]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """BUILD step of the IVF index: assign each vector to its max-cosine
+    center (ties -> lowest center index), as pure JVM expressions against
+    literal centers.  Write the result partitioned by `cell_col` so probes
+    become partition pruning; computed once per corpus, never per query."""
+    v = F.col(vec_col).cast("array<double>")
+    nrm = _norm(v)
+    cnorms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in centers]
+    scored = F.array(
+        *[
+            F.struct(
+                F.when(
+                    nrm > 0,
+                    _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+                    / (nrm * F.lit(cnorms[i])),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("cos"),
+                # struct comparison is field-ordered: max cos first, then max
+                # negi == LOWEST center index on cosine ties (deterministic)
+                F.lit(-i).alias("negi"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    return embeddings.withColumn(cell_col, -F.array_max(scored)["negi"])
+
+
+def probe_cells(
+    centers: list[list[float]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """The n_probe cell ids whose centroids are nearest the query by cosine
+    (driver-side: centroids are tiny), deterministic tie-break on cell id."""
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos_to_q(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    return sorted(range(len(centers)), key=lambda i: (-cos_to_q(centers[i]), i))[:n_probe]
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """PROBE a prebuilt IVF index (the output of `ivf_assign`/`ivf_index`,
+    ideally read back from a `cell_col`-partitioned table so the `isin`
+    filter prunes partitions): exact cosine top-k within the n_probe nearest
+    cells.  No fitting, no corpus scan outside the probed cells."""
+    probe = probe_cells(centers, query_vec, n_probe)
+    cands = assigned.filter(F.col(cell_col).isin(probe))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -179,21 +277,18 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF ANN top-k: assign the corpus to k-means cells, probe the `n_probe`
-    cells whose centroids are nearest the query (driver-side — centroids are
-    tiny), exact cosine within the probed cells.
+    """IVF ANN top-k.  Pass `index=(assigned, centers)` (from `ivf_index` or
+    `sampled_centers`+`ivf_assign`, built ONCE and persisted partitioned by
+    cell) to probe without refitting; without it this convenience wrapper
+    fits the k-means quantizer first — fine for one-off exploration, a
+    scale-killer if called per query.
 
     Unlike sign-LSH buckets, IVF cells adapt to the data distribution, so
     recall on clustered embeddings is high at small n_probe; recall/latency
     trades off via n_probe (n_probe = n_centroids degenerates to exact)."""
-    assigned, centers = ivf_index(embeddings, vec_col, n_centroids, max_iter, seed)
-    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-
-    def cos_to_q(c: list[float]) -> float:
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
-
-    probe = sorted(range(len(centers)), key=lambda i: (-cos_to_q(centers[i]), i))[:n_probe]
-    cands = assigned.filter(F.col("ivf_cell").isin(probe))
-    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+    if index is None:
+        index = ivf_index(embeddings, vec_col, n_centroids, max_iter, seed)
+    assigned, centers = index
+    return ivf_probe_topk(assigned, centers, query_vec, k, n_probe, id_col, vec_col)

@@ -1,0 +1,344 @@
+"""Independent pure-Python replay of the four approximate queries
+(minhash_near_dups, simhash_bucket_groups, ann_topk_q0, ivf_ann_q0) at
+sf0.01, emitting golden VALUES oracles so the driver can value-check them.
+
+The replay re-implements the same PUBLIC math the operators declare —
+XXH64 (the xxHash spec), the MinHash universal-hash schedule, sign-LSH,
+sampled-centroid IVF — from scratch in pure Python over the parquet read
+via DuckDB.  It shares NO Spark code with the operators (precedent: the
+by-construction `kg_triples_synthetic` golden oracle).
+
+Usage: python scripts/golden_replay.py   # rewrites ontology_pipeline_spark/golden_approx.py
+
+Determinism caveats this replay relies on (all verified by the contract
+check): sf0.01 documents/embeddings are ASCII and non-null; Spark round()
+is decimal HALF_UP on the shortest repr (== Decimal(repr(x)).quantize);
+F.aggregate folds arrays left-to-right so sequential Python float loops
+reproduce the exact IEEE-754 operation order.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import re
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "ontology_pipeline_spark",
+    "golden_approx.py",
+)
+
+# ---------------------------------------------------------------- XXH64
+# Pure-Python XXH64 (public spec, https://github.com/Cyan4973/xxHash).
+# Spark's `xxhash64` = XXH64(utf8 bytes, seed=42) returned as SIGNED int64.
+
+_P1 = 0x9E3779B185EBCA87
+# Spark's XXH64.java ships a DIVERGENT PRIME64_2 (0xC2B2AE3D27D4EB4F instead
+# of the official 0xC2B2AE3D4F879F49) — verified against the spark-catalyst
+# 4.1.2 bytecode and runtime.  We must match Spark, not the xxHash spec.
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def _merge(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 as a SIGNED 64-bit value (Spark semantics)."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        h = _merge(h, v1)
+        h = _merge(h, v2)
+        h = _merge(h, v3)
+        h = _merge(h, v4)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ------------------------------------------------------------ text utils
+# Java \s (used by F.split) is the ASCII whitespace class; documents at
+# sf0.01 are verified ASCII so str.lower() == F.lower here.
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def tokens(text: str) -> list[str]:
+    return [t for t in _WS.split(text) if t]
+
+
+def spark_round(x: float, ndigits: int = 6) -> float:
+    """Spark Round on double: decimal HALF_UP over the shortest repr."""
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+# ------------------------------------------------------------- minhash
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_signature(text: str, num_hashes: int, shingle_n: int, coeffs) -> list[int] | None:
+    toks = tokens(text.lower())
+    if shingle_n == 1:
+        shingles = list(dict.fromkeys(toks))
+    else:
+        grams = [
+            " ".join(toks[i : i + shingle_n])
+            for i in range(max(len(toks) - shingle_n + 1, 0))
+        ]
+        shingles = list(dict.fromkeys(grams))
+    if not shingles:
+        return None
+    hs = [xxh64(s.encode("utf-8")) % _MERSENNE for s in shingles]
+    sig = [_MERSENNE] * num_hashes
+    for h in hs:
+        for j, (a, b) in enumerate(coeffs):
+            v = (h * a + b) % _MERSENNE
+            if v < sig[j]:
+                sig[j] = v
+    return sig
+
+
+def replay_minhash_near_dups(docs, num_hashes=32, bands=4, shingle_n=2, seed=42, threshold=0.8):
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    rows_per_band = num_hashes // bands
+    sigs = {}
+    for doc_id, text in docs:
+        s = minhash_signature(text, num_hashes, shingle_n, coeffs)
+        if s is not None:
+            sigs[doc_id] = s
+    # banded LSH candidates: pairs sharing an identical band slice
+    buckets: dict[tuple, list] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(cand):
+        agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        est = spark_round(agree / float(num_hashes), 6)
+        if est >= threshold:
+            out.append((a, b, est))
+    return out
+
+
+# -------------------------------------------------------------- simhash
+def replay_simhash_groups(docs, bits=32, prefix_bits=10):
+    from collections import Counter
+
+    counts = Counter()
+    for _doc_id, text in docs:
+        toks = tokens(text.lower())
+        if not toks:
+            sh = 0
+        else:
+            hs = [xxh64(t.encode("utf-8")) for t in toks]
+            sh = 0
+            for b in range(bits):
+                mask = 1 << b
+                ones = sum(1 for h in hs if h & mask)
+                if ones * 2 > len(hs):
+                    sh |= mask
+        # shiftrightunsigned == plain shift here: sh < 2^bits is non-negative
+        counts[sh >> (bits - prefix_bits)] += 1
+    return sorted((bkt, n) for bkt, n in counts.items() if n > 1)
+
+
+# ------------------------------------------------------------- sign-LSH
+def _dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _norm(a):
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def replay_ann_topk(vecs, query_vec, k=10, n_planes=8, max_hamming=2, seed=42):
+    from itertools import combinations
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(len(query_vec))] for _ in range(n_planes)]
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0:
+            qbits |= 1 << i
+    probe = {qbits}
+    for h in range(1, max_hamming + 1):
+        for bits_ in combinations(range(n_planes), h):
+            flip = 0
+            for b in bits_:
+                flip |= 1 << b
+            probe.add(qbits ^ flip)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    scored = []
+    for vec_id, v in vecs:
+        bucket = 0
+        for i, p in enumerate(planes):
+            if _dot(v, p) >= 0:
+                bucket |= 1 << i
+        if bucket not in probe:
+            continue
+        cos = _dot(v, query_vec) / (_norm(v) * qn)
+        scored.append((vec_id, spark_round(cos, 6)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+# ------------------------------------------------------ sampled-centroid IVF
+def replay_ivf_topk(vecs, query_vec, k=10, n_centroids=16, n_probe=4):
+    """Replay of similarity.sampled_centers + ivf_assign + ivf_probe_topk."""
+    # seed selection: n_centroids ids with smallest (pmod(xxh64(str(id)), M), id)
+    ranked = sorted(vecs, key=lambda t: (xxh64(str(t[0]).encode()) % _MERSENNE, t[0]))
+    seeds = ranked[:n_centroids]
+    centers = []
+    for _vid, v in seeds:
+        n = _norm(v)
+        centers.append([x / n for x in v] if n > 0 else list(v))
+    cnorms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in centers]
+    # assignment: argmax cosine, tiebreak lowest center index
+    assigned = []
+    for vec_id, v in vecs:
+        nrm = _norm(v)
+        best = None
+        for i, c in enumerate(centers):
+            cos = _dot(v, c) / (nrm * cnorms[i]) if nrm > 0 else 0.0
+            cand = (cos, -i)
+            if best is None or cand > best:
+                best = cand
+        assigned.append((vec_id, v, -best[1]))
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos_to_q(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probe = set(sorted(range(len(centers)), key=lambda i: (-cos_to_q(centers[i]), i))[:n_probe])
+    scored = [
+        (vec_id, spark_round(_dot(v, query_vec) / (_norm(v) * qn), 6))
+        for vec_id, v, cell in assigned
+        if cell in probe
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+# ---------------------------------------------------------------- emit
+def _sql_values(rows, decls: str) -> str:
+    body = ", ".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {body}) AS g({decls})"
+
+
+def _lit(v) -> str:
+    if isinstance(v, float):
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, int):
+        return f"CAST({v} AS BIGINT)"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def main() -> None:
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    # float32 -> python float widening matches Spark's cast to array<double>
+    vecs = [(vid, [float(x) for x in v]) for vid, v in emb]
+    qv = dict(vecs)[0]  # _QUERY_VEC_ID = 0
+
+    mh = replay_minhash_near_dups(docs)
+    sh = replay_simhash_groups(docs)
+    ann = replay_ann_topk(vecs, qv)
+    ivf = replay_ivf_topk(vecs, qv)
+    print(f"minhash pairs: {len(mh)}, simhash groups: {len(sh)}, ann: {len(ann)}, ivf: {len(ivf)}")
+
+    gen = {
+        "minhash_near_dups": _sql_values(mh, "id_a, id_b, est_jaccard"),
+        "simhash_bucket_groups": _sql_values(sh, "bucket, n_docs"),
+        "ann_topk_q0": _sql_values(ann, "vec_id, cosine"),
+        "ivf_ann_q0": _sql_values(ivf, "vec_id, cosine"),
+    }
+    with open(OUT, "w") as f:
+        f.write(
+            '"""GENERATED by scripts/golden_replay.py — golden VALUES oracles for\n'
+            "the approximate queries, valid for the sf0.01 testdata (the scale the\n"
+            "driver's correctness gate runs at).  Regenerate after changing the\n"
+            'operators or the testdata.  Do not edit by hand."""\n\n'
+            "GOLDEN_APPROX_SQL: dict[str, str] = {\n"
+        )
+        for k, v in gen.items():
+            f.write(f"    {k!r}: {v!r},\n")
+        f.write("}\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()
