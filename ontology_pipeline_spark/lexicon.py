@@ -109,6 +109,39 @@ EXTRA_ALIASES: dict[str, list[str]] = {
 }
 
 
+# Metric -> producing assessment (reference documents carry a per-metric
+# `assessment_source`, src/prompts.py:160-168 and streamlit_app.py:176,:504;
+# the reference's values are LLM-derived free text — here the deterministic
+# analog is this curated ontology mapping).  Metrics with no canonical
+# source assessment in the vocabulary stay unmapped (null in documents).
+METRIC_SOURCE: dict[str, str] = {
+    "Body Fat Percentage": "DEXA Scan",
+    "Systolic Blood Pressure": "24-hour Blood Pressure Monitoring",
+    "Jump Height": "Countermovement Jump",
+    "VO2 Max": "VO2 Max Test",
+    "RER": "VO2 Max Test",
+    "Estradiol": "Hormone Panel",
+    "Sleep Efficiency": "Sleep Study",
+}
+
+# Technology -> (vendor_manufacturer, technology_type, specific_model)
+# (reference `technology_vendor` shape: name/type/specific_equipment,
+# src/prompts.py:131-135).  Public vendor facts only; unknown model stays
+# null rather than fabricated.
+TECH_INFO: dict[str, tuple[str, str, str | None]] = {
+    "VALD ForceDecks": ("VALD", "hardware", "ForceDecks"),
+    "Neurocatch": ("NeuroCatch Inc.", "hardware", "NeuroCatch Platform"),
+    "Oura Ring": ("Oura", "hardware", None),
+    "COSMED": ("COSMED", "hardware", None),
+    "Polar H10": ("Polar", "hardware", "H10"),
+    "LabCorp": ("LabCorp", "service", None),
+    "Quest Diagnostics": ("Quest Diagnostics", "service", None),
+    "HRV4Training": ("HRV4Training", "software", None),
+    "Hologic DEXA": ("Hologic", "hardware", None),
+    "SpaceLabs": ("Spacelabs Healthcare", "hardware", None),
+}
+
+
 def _case_variants(name: str) -> list[str]:
     """Deterministic surface variants: lowercase and hyphenated forms."""
     out = [name]

@@ -367,6 +367,40 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup_clusters(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    seed: int = 42,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Document-level near-dup CLUSTERS (VERDICT r1 #9): MinHash-LSH pairs
+    -> connected components -> one row per clustered doc with its cluster
+    representative.
+
+    Returns (doc_id, cluster_id) where cluster_id is the MINIMUM doc id of
+    the component (the deterministic keep-representative: keep rows where
+    doc_id == cluster_id, drop the rest).  Docs in no near-dup pair are
+    absent (singletons need no dedup decision).
+
+    Scale: pair space is band-bucket-bounded (never O(n^2)); the CC runs
+    O(log diameter) label-propagation rounds over the pair edges — near-dup
+    components are shallow (chains of transitive near-dups), so this
+    converges in a handful of one-shuffle rounds."""
+    from .canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(
+        documents, text_col, id_col, num_hashes, bands, shingle_n, seed
+    ).filter(F.col("est_jaccard") >= threshold)
+    cc = connected_components(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def simhash_buckets(
     documents: DataFrame,
     text_col: str = "text",

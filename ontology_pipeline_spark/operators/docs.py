@@ -193,6 +193,45 @@ def upsert_last_wins(existing: DataFrame, new: DataFrame, key: str, order_col: s
     )
 
 
+def coverage_report(mentions: DataFrame, lexicon_rows: list[tuple]) -> DataFrame:
+    """M8's missed-entity half (SURVEY §2.3; reference `validation_guided`'s
+    `ontology_coverage_check` + `potential_missed_entities`,
+    /root/reference/src/prompts.py:602-641): per entity class, how many
+    lexicon canonicals the corpus mentions and which are MISSED (never
+    mentioned anywhere) — the deterministic corpus-scale re-expression of
+    the reference's per-transcript gap review.
+
+    Output: (entity_class, n_lexicon, n_mentioned, coverage_ratio,
+    missed_entities) with missed_entities a '|'-joined sorted list (empty
+    string when fully covered).  Cost: one distinct over the mention
+    canonicals (small result) + a join against the tiny lexicon frame."""
+    spark = mentions.sparkSession
+    lex = spark.createDataFrame(
+        sorted({(cls, canon) for cls, canon, _a, _p, _u in lexicon_rows}),
+        "entity_class string, canonical string",
+    )
+    seen = (
+        mentions.select("canonical", "entity_class")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = lex.join(seen, ["entity_class", "canonical"], "left")
+    return joined.groupBy("entity_class").agg(
+        F.count(F.lit(1)).alias("n_lexicon"),
+        F.count("_hit").alias("n_mentioned"),
+        F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("coverage_ratio"),
+        F.coalesce(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_hit").isNull(), F.col("canonical")))
+                ),
+                "|",
+            ),
+            F.lit(""),
+        ).alias("missed_entities"),
+    )
+
+
 def corpus_summary(docs: DataFrame) -> DataFrame:
     """Corpus KPIs (reference summary, src/extractor.py:946-955 and
     streamlit KPIs, streamlit_app.py:344-395)."""

@@ -120,15 +120,169 @@ def link_fuzzy(
     )
 
 
+def candidate_surfaces(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate entity spans for linking, from clean (boilerplate-stripped)
+    text: maximal runs of capitalized tokens PLUS each individual capitalized
+    token (the sub-token fallback recovers an exact alias when a
+    sentence-initial "The" glues onto a name).  Pure JVM expressions; the
+    distinct is one shuffle over the (small) candidate vocabulary.
+
+    Precision is intentionally loose — candidates that link to nothing are
+    dropped by the linker; this stage only needs recall over surface forms
+    the lexicon regex cannot see (misspellings, unseen variants)."""
+    runs = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Z][A-Za-z0-9-]*(?: [A-Z][A-Za-z0-9-]*)*"), 0
+    )
+    toks = F.filter(
+        F.split(F.col(text_col), r"[^A-Za-z0-9-]+"),
+        lambda t: t.rlike("^[A-Z]"),
+    )
+    return (
+        df.select(F.explode(F.array_union(runs, toks)).alias("surface"))
+        .filter(F.length("surface") > 0)
+        .distinct()
+    )
+
+
+def link_fuzzy_grams(
+    unmatched: DataFrame,
+    lexicon: DataFrame,
+    surface_col: str = "surface",
+    jaccard_max_distance: float = 0.5,
+    num_hashes: int = 24,
+    bands: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic fuzzy tier: char-3-gram MinHash banding against the
+    BROADCAST lexicon, with EXACT Jaccard verification of band candidates.
+
+    Differences vs the `pyspark.ml` MinHashLSH path (`link_fuzzy`):
+    * pure JVM expressions — no CountVectorizer fit pass, no ml pipeline;
+    * bit-stable across partitionings (MinHashLSH hashes CountVectorizer
+      feature indices, whose tie order is partition-dependent);
+    * candidates are verified with the TRUE gram Jaccard, so banding only
+      affects recall, never emits a false positive past the threshold.
+
+    Scale shape: the banded lexicon is tiny and broadcast, so the big
+    surface side joins without a shuffle; per surface the work is
+    O(bands + verified candidates).  Returns the same schema as
+    `link_fuzzy`: (surface, linked_canonical, linked_class,
+    jaccard_distance), best candidate per surface, deterministic tie-break.
+    """
+    import random as _random
+
+    rows_per_band = num_hashes // bands
+    assert num_hashes % bands == 0
+    rng = _random.Random(seed)
+    from .dedup import _MERSENNE
+
+    coeffs = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    coeff_arr = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in coeffs
+        ]
+    )
+
+    def sig_of(gram_col):
+        hashes = F.transform(gram_col, lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE)))
+        return F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes),
+            lambda acc, h: F.zip_with(
+                acc,
+                coeff_arr,
+                lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(_MERSENNE))),
+            ),
+        )
+
+    def banded(df, sig_name):
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_band"),
+                            F.hash(
+                                F.slice(F.col(sig_name), i * rows_per_band + 1, rows_per_band)
+                            ).alias("_bucket"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("_bb"),
+        ).select("*", "_bb._band", "_bb._bucket").drop("_bb")
+
+    left = (
+        unmatched.select(F.col(surface_col).alias("surface"))
+        .distinct()
+        .withColumn("_lg", _char_ngrams(F.col("surface")))
+        .filter(F.size("_lg") > 0)
+        # stage+pin: the signature expression feeds the band explode and
+        # would otherwise be re-evaluated per consumer (module discipline)
+        .withColumn("_lsig", sig_of(F.col("_lg")))
+        .localCheckpoint(eager=False)
+    )
+    right = (
+        lexicon.select(
+            F.col("canonical_name").alias("linked_canonical"),
+            F.col("entity_class").alias("linked_class"),
+            F.col("alias"),
+        )
+        .withColumn("_rg", _char_ngrams(F.col("alias")))
+        .filter(F.size("_rg") > 0)
+        .withColumn("_rsig", sig_of(F.col("_rg")))
+    )
+    cand = (
+        banded(left, "_lsig")
+        .join(
+            F.broadcast(banded(right, "_rsig").drop("_rsig")),
+            ["_band", "_bucket"],
+        )
+        # dedup the multi-band repeats per (surface, alias) BEFORE scoring —
+        # a canonical-level dedup here would keep an arbitrary alias's grams
+        # and make the verified distance nondeterministic
+        .select("surface", "_lg", "alias", "linked_canonical", "linked_class", "_rg")
+        .dropDuplicates(["surface", "alias", "linked_canonical", "linked_class"])
+    )
+    dist = F.round(
+        F.lit(1.0)
+        - F.size(F.array_intersect("_lg", "_rg"))
+        / F.size(F.array_union("_lg", "_rg")),
+        6,
+    )
+    scored = cand.withColumn("jaccard_distance", dist).filter(
+        F.col("jaccard_distance") <= jaccard_max_distance
+    )
+    w = Window.partitionBy("surface").orderBy(
+        "jaccard_distance", "linked_canonical", "linked_class", "alias"
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("surface", "linked_canonical", "linked_class", "jaccard_distance")
+    )
+
+
 def link_entities(
     surfaces: DataFrame,
     lexicon: DataFrame,
     surface_col: str = "surface",
     fuzzy: bool = True,
     jaccard_max_distance: float = 0.5,
+    fuzzy_method: str = "ml",
 ) -> DataFrame:
     """Full two-tier linker.  Output adds (linked_canonical, linked_class,
-    link_method) to the input rows; unlinkable rows keep nulls."""
+    link_method) to the input rows; unlinkable rows keep nulls.
+
+    ``fuzzy_method``: "ml" (MinHashLSH over CountVectorizer features — the
+    reference-parity path) or "grams" (`link_fuzzy_grams`: pure-expression
+    banded MinHash with exact verification — deterministic across
+    partitionings; what the flagship fuzzy-canonicalization query uses)."""
     exact = link_exact(surfaces, lexicon, surface_col).withColumn(
         "link_method", F.when(F.col("linked_canonical").isNotNull(), F.lit("exact"))
     )
@@ -145,7 +299,10 @@ def link_entities(
     )
     if misses.isEmpty():
         return exact
-    fz = link_fuzzy(misses, lexicon, surface_col, jaccard_max_distance)
+    if fuzzy_method == "grams":
+        fz = link_fuzzy_grams(misses, lexicon, surface_col, jaccard_max_distance)
+    else:
+        fz = link_fuzzy(misses, lexicon, surface_col, jaccard_max_distance)
     repaired = (
         misses.join(
             fz.withColumnRenamed("surface", "_fz_surface"),

@@ -23,7 +23,6 @@ the whole table.
 from __future__ import annotations
 
 import datetime as dt
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,37 +54,43 @@ def build_triples(
 def run_pipeline(
     spark: SparkSession,
     pages_path: str,
-    out_dir: str,
+    out_dir: str | None = None,
     run_id: str | None = None,
     lexicon_rows: list[tuple] | None = None,
     resume: bool = True,
     from_html: bool = True,
+    sink=None,
 ) -> dict:
     """Execute one (resumable) batch commit. Returns summary counters,
-    mirroring the reference's corpus summary (src/extractor.py:946-955)."""
+    mirroring the reference's corpus summary (src/extractor.py:946-955).
+
+    All storage goes through the triple-sink seam (`sources.tables`):
+    the default is `ParquetTripleSink(out_dir)`; pass an `IcebergTripleSink`
+    to land the same plan on Iceberg tables — no plan code changes."""
+    from ..sources.tables import ParquetTripleSink
+
+    if sink is None:
+        if out_dir is None:
+            raise ValueError("run_pipeline needs out_dir or an explicit sink")
+        sink = ParquetTripleSink(out_dir)
     run_id = run_id or dt.datetime.now(dt.timezone.utc).strftime("run_%Y%m%dT%H%M%S%f")
-    triples_path = os.path.join(out_dir, "triples")
-    lineage_path = os.path.join(out_dir, "lineage")
 
     pages = spark.read.parquet(pages_path)
     total_pages = pages.count()
 
-    if resume and _exists(spark, lineage_path):
-        # Exclude THIS run_id from the done-set: a same-run_id retry after a
-        # crash mid-lineage-append would otherwise skip the urls whose lineage
-        # rows landed before the crash, and the dynamic (run_id, bucket)
-        # partition overwrite below would then REPLACE bucket partitions that
-        # also hold those urls' triples — permanently losing committed rows
-        # (their lineage would claim them committed with no rows behind it).
-        # Reprocessing the whole run under its own run_id makes the overwrite
-        # complete and idempotent; urls committed under OTHER runs stay skipped.
-        done = (
-            spark.read.parquet(lineage_path)
-            .filter(F.col("run_id") != run_id)
-            .select("url")
-            .distinct()
-        )
-        pages = pages.join(done, "url", "left_anti")
+    if resume:
+        # The done-set excludes THIS run_id: a same-run_id retry after a
+        # crash mid-lineage-append would otherwise skip the urls whose
+        # lineage rows landed before the crash, and the dynamic (run_id,
+        # bucket) partition overwrite below would then REPLACE bucket
+        # partitions that also hold those urls' triples — permanently losing
+        # committed rows (their lineage would claim them committed with no
+        # rows behind it).  Reprocessing the whole run under its own run_id
+        # makes the overwrite complete and idempotent; urls committed under
+        # OTHER runs stay skipped.
+        done = sink.read_done_urls(spark, exclude_run_id=run_id)
+        if done is not None:
+            pages = pages.join(done, "url", "left_anti")
 
     pages = pages.localCheckpoint(eager=False)
     new_pages = pages.count()
@@ -107,22 +112,16 @@ def run_pipeline(
     triples_b = triples.withColumn(
         "bucket", F.pmod(F.xxhash64("subj"), F.lit(N_SUBJECT_BUCKETS))
     ).withColumn("run_id", F.lit(run_id))
-    # dynamic partition overwrite, not append: retrying a crashed run with
-    # the SAME caller-supplied run_id must replace that run's partitions, or
-    # the retry would append a second copy of every triple under them
-    (
-        triples_b.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("run_id", "bucket")
-        .parquet(triples_path)
-    )
+    # replace-not-append: retrying a crashed run with the SAME caller-supplied
+    # run_id must replace that run's partitions, or the retry would append a
+    # second copy of every triple under them
+    sink.write_run_triples(triples_b)
 
     # per-url lineage: every new page commits a row even if it emitted no
     # triples (negative pages must not be reprocessed forever).  Reads back
     # ONLY this run's partition (pruned scan — O(new pages), not O(corpus)).
     per_url = (
-        spark.read.parquet(triples_path)
-        .filter(F.col("run_id") == run_id)
+        sink.read_run_triples(spark, run_id)
         .groupBy("url")
         .agg(F.count(F.lit(1)).alias("n_triples"))
     )
@@ -139,7 +138,7 @@ def run_pipeline(
             F.current_timestamp().alias("committed_ts"),
         )
     )
-    lineage.write.mode("append").parquet(lineage_path)
+    sink.append_lineage(lineage)
 
     new_triples = int(per_url.agg(F.sum("n_triples")).first()[0] or 0)
     summary = {
@@ -150,16 +149,16 @@ def run_pipeline(
     }
     # run-level metrics row alongside the commit (reference corpus summary,
     # src/extractor.py:946-955; north rule: lineage + metrics per commit)
-    spark.createDataFrame(
-        [(run_id, total_pages, new_pages, new_triples)],
-        "run_id string, total_pages long, new_pages long, new_triples long",
-    ).withColumn("committed_ts", F.current_timestamp()).write.mode("append").parquet(
-        os.path.join(out_dir, "metrics")
+    sink.append_metrics(
+        spark.createDataFrame(
+            [(run_id, total_pages, new_pages, new_triples)],
+            "run_id string, total_pages long, new_pages long, new_triples long",
+        ).withColumn("committed_ts", F.current_timestamp())
     )
     return summary
 
 
-def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_triples(spark: SparkSession, out_dir: str | None = None, sink=None) -> DataFrame:
     """Committed triples only: the committed view is the semi-join of the
     triples sink against lineage on (run_id, url).  This makes BOTH crash
     windows safe: an orphan run partition (crash before any lineage landed)
@@ -168,26 +167,15 @@ def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:
     urls are reprocessed by the next resume under a new run_id and only that
     run's copy is visible, never both.  (On Iceberg a single snapshot commit
     replaces this pair-join.)"""
-    t = spark.read.parquet(os.path.join(out_dir, "triples"))
-    lineage_path = os.path.join(out_dir, "lineage")
-    if not _exists(spark, lineage_path):
-        return t.filter(F.lit(False)).drop("bucket", "run_id")
-    # lineage is one row per processed url — no broadcast hint (at corpus
-    # scale it is NOT small); Catalyst/AQE picks the strategy, and on Iceberg
-    # the snapshot mechanism removes the join entirely
-    committed = spark.read.parquet(lineage_path).select("run_id", "url").distinct()
-    return t.join(committed, ["run_id", "url"], "left_semi").drop("bucket", "run_id")
+    from ..sources.tables import ParquetTripleSink
+
+    if sink is None:
+        if out_dir is None:
+            raise ValueError("read_triples needs out_dir or an explicit sink")
+        sink = ParquetTripleSink(out_dir)
+    return sink.read_committed(spark)
 
 
-def corpus_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+def corpus_triples(spark: SparkSession, out_dir: str | None = None, sink=None) -> DataFrame:
     """Distinct corpus-level knowledge graph with provenance."""
-    return distinct_triples(read_triples(spark, out_dir))
-
-
-def _exists(spark: SparkSession, path: str) -> bool:
-    """Hadoop-FS existence probe (works for local paths and object stores
-    without the noisy analyzer WARN a speculative read would log)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    return distinct_triples(read_triples(spark, out_dir, sink=sink))

@@ -61,3 +61,150 @@ def export_json_documents(df: DataFrame, path: str) -> None:
     """Document-shaped JSON export (reference save_results pretty-print sink,
     src/extractor.py:157-167) — one JSON object per line."""
     df.write.mode("overwrite").json(path)
+
+
+# ---------------------------------------------------------------------------
+# Triple-sink seam (VERDICT r1 #7): the pipeline's commit protocol talks to
+# this interface only, so a cluster deployment swaps ParquetTripleSink for
+# IcebergTripleSink in one constructor — plan code unchanged.
+# ---------------------------------------------------------------------------
+
+
+class ParquetTripleSink:
+    """Parquet + hand-rolled two-phase commit (the sandbox/local impl; the
+    exact protocol semantics are documented and crash-tested in
+    plans/pipeline.py).  Layout:
+
+        <root>/triples/run_id=<r>/bucket=<b>/part-*.parquet
+        <root>/lineage/run_id=<r>/part-*.parquet   (append)
+        <root>/metrics/part-*.parquet              (append)
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.triples_path = os.path.join(root, "triples")
+        self.lineage_path = os.path.join(root, "lineage")
+        self.metrics_path = os.path.join(root, "metrics")
+
+    # -- resume -----------------------------------------------------------
+    def read_done_urls(self, spark: SparkSession, exclude_run_id: str) -> DataFrame | None:
+        """Urls already committed by OTHER runs (None when no lineage yet).
+        The current run_id is excluded so a same-run_id retry reprocesses its
+        whole run (see plans/pipeline.py for why that is load-bearing)."""
+        if not _hadoop_exists(spark, self.lineage_path):
+            return None
+        return (
+            spark.read.parquet(self.lineage_path)
+            .filter(F.col("run_id") != exclude_run_id)
+            .select("url")
+            .distinct()
+        )
+
+    # -- commit (phase 1: triples, phase 2: lineage) ----------------------
+    def write_run_triples(self, df: DataFrame) -> None:
+        """Replace this run's partitions atomically-enough for the protocol:
+        dynamic partition overwrite of (run_id, bucket).  Iceberg analog:
+        `writeTo(t).overwritePartitions()` — one snapshot commit."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "bucket")
+            .parquet(self.triples_path)
+        )
+
+    def read_run_triples(self, spark: SparkSession, run_id: str) -> DataFrame:
+        """This run's landed triples (partition-pruned scan)."""
+        return spark.read.parquet(self.triples_path).filter(F.col("run_id") == run_id)
+
+    def append_lineage(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.lineage_path)
+
+    def append_metrics(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.metrics_path)
+
+    # -- committed view ---------------------------------------------------
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        """Committed triples only: semi-join of the triples sink against
+        lineage on (run_id, url) — both crash windows safe (orphan run
+        partitions invisible; partial lineage exposes exactly the landed
+        urls).  On Iceberg the snapshot mechanism removes this join."""
+        t = spark.read.parquet(self.triples_path)
+        if not _hadoop_exists(spark, self.lineage_path):
+            return t.filter(F.lit(False)).drop("bucket", "run_id")
+        committed = (
+            spark.read.parquet(self.lineage_path).select("run_id", "url").distinct()
+        )
+        return t.join(committed, ["run_id", "url"], "left_semi").drop("bucket", "run_id")
+
+
+class IcebergTripleSink:
+    """Iceberg impl of the same seam (cluster deployments).  Import-guarded:
+    constructing it without the iceberg-spark runtime on the classpath raises
+    a descriptive error instead of failing deep inside an executor.
+
+    Mapping from the parquet protocol:
+    * write_run_triples  -> `writeTo(triples_table).overwritePartitions()`
+      against a table partitioned by (run_id, bucket(N, subj)) — ONE snapshot
+      commit replaces the run's partitions;
+    * append_lineage     -> `writeTo(lineage_table).append()`;
+    * read_committed     -> the same (run_id, url) semi-join; deployments
+      that commit triples+lineage in one transaction (e.g. a multi-table
+      transaction catalog, or lineage folded into the triples table's
+      snapshot summary) can override this with a plain `table()` read.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples_table: str,
+        lineage_table: str,
+        metrics_table: str,
+    ):
+        try:
+            spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
+        except Exception as e:  # pragma: no cover - sandbox has no Iceberg
+            raise RuntimeError(
+                "IcebergTripleSink requires the iceberg-spark-runtime package "
+                "on the Spark classpath and a configured catalog "
+                "(spark.sql.catalog.*); use ParquetTripleSink locally"
+            ) from e
+        self.spark = spark
+        self.triples_table = triples_table
+        self.lineage_table = lineage_table
+        self.metrics_table = metrics_table
+
+    def read_done_urls(self, spark: SparkSession, exclude_run_id: str) -> DataFrame | None:
+        try:
+            lineage = spark.read.table(self.lineage_table)
+        except Exception:
+            return None
+        return (
+            lineage.filter(F.col("run_id") != exclude_run_id).select("url").distinct()
+        )
+
+    def write_run_triples(self, df: DataFrame) -> None:
+        df.writeTo(self.triples_table).overwritePartitions()
+
+    def read_run_triples(self, spark: SparkSession, run_id: str) -> DataFrame:
+        return spark.read.table(self.triples_table).filter(F.col("run_id") == run_id)
+
+    def append_lineage(self, df: DataFrame) -> None:
+        df.writeTo(self.lineage_table).append()
+
+    def append_metrics(self, df: DataFrame) -> None:
+        df.writeTo(self.metrics_table).append()
+
+    def read_committed(self, spark: SparkSession) -> DataFrame:
+        t = spark.read.table(self.triples_table)
+        committed = (
+            spark.read.table(self.lineage_table).select("run_id", "url").distinct()
+        )
+        return t.join(committed, ["run_id", "url"], "left_semi").drop("bucket", "run_id")
+
+
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (local paths and object stores alike)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))

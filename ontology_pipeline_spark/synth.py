@@ -162,6 +162,58 @@ def generate_corpus(n_pages: int = 500, seed: int = 42) -> Corpus:
                   expected_triples=triples, text_sha256=hashes)
 
 
+# Names safe to misspell in the fuzzy-linking fixture: none is a substring
+# of another lexicon surface, so a whole-string replacement in page text is
+# unambiguous, and each misspelling is closest (by char-3-gram Jaccard) to
+# its own canonical by a wide margin.
+MISSPELL_TARGETS = [
+    "Sleep Quality",
+    "Heart Rate Variability",
+    "Functional Mobility",
+    "Insulin Sensitivity",
+    "Muscular Power",
+]
+
+
+def misspell(name: str) -> str:
+    """Deterministic misspelling: drop the middle character of the longest
+    token ("Sleep Quality" -> "Sleep Quaity")."""
+    toks = name.split(" ")
+    j = max(range(len(toks)), key=lambda t: (len(toks[t]), -t))
+    w = toks[j]
+    toks[j] = w[: len(w) // 2] + w[len(w) // 2 + 1 :]
+    return " ".join(toks)
+
+
+def generate_misspelled_corpus(
+    n_pages: int = 200, seed: int = 17, rate: float = 0.5
+) -> tuple[Corpus, dict[str, str]]:
+    """A corpus with seeded misspellings of MISSPELL_TARGETS injected into
+    page text (html regenerated to match), while the GOLDEN mentions/triples
+    keep the canonical names — the fixture for the fuzzy-linking ->
+    canonicalization -> re-extraction flagship query: the engine must
+    recover each misspelled surface back to its canonical to reproduce the
+    golden triples.  Returns (corpus, {misspelled_surface: canonical})."""
+    corpus = generate_corpus(n_pages, seed)
+    rng = random.Random(seed * 31 + 7)
+    forms = {t: misspell(t) for t in MISSPELL_TARGETS}
+    injected: dict[str, str] = {}
+    new_pages = []
+    for url, ts, html, text, lang in corpus.pages:
+        new_text = text
+        for canon, bad in forms.items():
+            if canon in new_text and rng.random() < rate:
+                new_text = new_text.replace(canon, bad)
+                injected[bad] = canon
+        if new_text is not text:
+            i = int(url.rsplit("p", 1)[1])
+            html = wrap_html(f"Page {i}", new_text.split("\n"))
+            corpus.text_sha256[url] = hashlib.sha256(new_text.encode("utf-8")).hexdigest()
+        new_pages.append((url, ts, html, new_text, lang))
+    corpus.pages = new_pages
+    return corpus, injected
+
+
 def distributed_pages(spark, n_pages: int, seed: int = 7, partitions: int | None = None):
     """Pages generated ON THE EXECUTORS — per-page seeded RNG inside
     mapInPandas, so the driver never holds the corpus.  This is the only way

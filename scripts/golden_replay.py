@@ -181,6 +181,24 @@ def replay_minhash_near_dups(docs, num_hashes=32, bands=4, shingle_n=2, seed=42,
     return out
 
 
+def replay_dedup_clusters(docs, num_hashes=32, bands=8, shingle_n=2, seed=42, threshold=0.8):
+    """Union-find over the replayed LSH pairs; cluster id = min member."""
+    pairs = replay_minhash_near_dups(docs, num_hashes, bands, shingle_n, seed, threshold)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _est in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((d, find(d)) for d in parent)
+
+
 # -------------------------------------------------------------- simhash
 def replay_simhash_groups(docs, bits=32, prefix_bits=10):
     from collections import Counter
@@ -317,13 +335,18 @@ def main() -> None:
     sh = replay_simhash_groups(docs)
     ann = replay_ann_topk(vecs, qv)
     ivf = replay_ivf_topk(vecs, qv)
-    print(f"minhash pairs: {len(mh)}, simhash groups: {len(sh)}, ann: {len(ann)}, ivf: {len(ivf)}")
+    clusters = replay_dedup_clusters(docs)
+    print(
+        f"minhash pairs: {len(mh)}, simhash groups: {len(sh)}, ann: {len(ann)}, "
+        f"ivf: {len(ivf)}, cluster rows: {len(clusters)}"
+    )
 
     gen = {
         "minhash_near_dups": _sql_values(mh, "id_a, id_b, est_jaccard"),
         "simhash_bucket_groups": _sql_values(sh, "bucket, n_docs"),
         "ann_topk_q0": _sql_values(ann, "vec_id, cosine"),
         "ivf_ann_q0": _sql_values(ivf, "vec_id, cosine"),
+        "dedup_clusters": _sql_values(clusters, "doc_id, cluster_id"),
     }
     with open(OUT, "w") as f:
         f.write(

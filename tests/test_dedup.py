@@ -135,3 +135,24 @@ def test_embedding_cosine_pairs(spark):
     df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
     got = {(r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(df, threshold=0.99).collect()}
     assert got == {(0, 1)}
+
+
+def test_minhash_dedup_clusters_transitive(spark):
+    """A~B and B~C near-dup pairs must collapse into ONE cluster with the
+    min doc_id as representative, even when A~C alone would not pair."""
+    from ontology_pipeline_spark.operators.dedup import minhash_dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today " * 4
+    a = base
+    b = base.replace("river", "creek")                       # ~A
+    c = base.replace("river", "creek").replace("lazy", "idle")  # ~B
+    far = "completely different content about spark shuffles and partitions " * 5
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, far)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_dedup_clusters(docs, threshold=0.6).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert 9 not in got  # no near-dup partner -> no dedup decision needed

@@ -38,3 +38,33 @@ def test_upsert_tie_new_side_wins(spark):
     new = spark.createDataFrame([("k1", 5, "new")], ["url", "ver", "val"])
     out = upsert_last_wins(existing, new, key="url", order_col="ver").collect()
     assert len(out) == 1 and out[0]["val"] == "new"
+
+
+def test_coverage_report_missed_entities(spark):
+    """M8 missed-entity half: unmentioned lexicon canonicals are listed
+    per class, sorted and '|'-joined; fully-covered classes report an
+    empty string and ratio 1.0."""
+    from ontology_pipeline_spark.operators.docs import coverage_report
+
+    lex = [
+        ("construct", "Sleep Quality", "Sleep Quality", None, None),
+        ("construct", "Fall Risk", "Fall Risk", None, None),
+        ("construct", "Aerobic Capacity", "Aerobic Capacity", None, None),
+        ("assessment", "DEXA Scan", "DEXA Scan", None, None),
+    ]
+    mentions = spark.createDataFrame(
+        [
+            ("u1", "Sleep Quality", "construct"),
+            ("u2", "Sleep Quality", "construct"),
+            ("u2", "DEXA Scan", "assessment"),
+        ],
+        ["url", "canonical", "entity_class"],
+    )
+    got = {r["entity_class"]: r for r in coverage_report(mentions, lex).collect()}
+    c = got["construct"]
+    assert (c["n_lexicon"], c["n_mentioned"]) == (3, 1)
+    assert abs(c["coverage_ratio"] - round(1 / 3, 6)) < 1e-9
+    assert c["missed_entities"] == "Aerobic Capacity|Fall Risk"
+    a = got["assessment"]
+    assert (a["n_lexicon"], a["n_mentioned"], a["coverage_ratio"]) == (1, 1, 1.0)
+    assert a["missed_entities"] == ""

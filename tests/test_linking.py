@@ -48,6 +48,51 @@ def test_exact_never_overridden(spark):
     assert row["link_method"] == "exact"
 
 
+def test_fuzzy_grams_links_typos_and_matches_schema(spark):
+    """The deterministic grams-MinHash fuzzy tier links the same typos the
+    ml tier does, never links garbage, and is stable across partitionings."""
+    from ontology_pipeline_spark.operators.linking import link_fuzzy_grams
+    from ontology_pipeline_spark.synth import MISSPELL_TARGETS, misspell
+
+    lex = lexicon_df(spark)
+    rows = [(misspell(t),) for t in MISSPELL_TARGETS] + [("zzzzqqq",), ("The Countermovement Jump",)]
+    surfaces = spark.createDataFrame(rows, ["surface"])
+    got = {r["surface"]: r for r in link_fuzzy_grams(surfaces, lex).collect()}
+    for t in MISSPELL_TARGETS:
+        assert got[misspell(t)]["linked_canonical"] == t, t
+        assert got[misspell(t)]["jaccard_distance"] <= 0.5
+    assert "zzzzqqq" not in got  # garbage gets no candidate at all
+    assert got["The Countermovement Jump"]["linked_canonical"] == "Countermovement Jump"
+    # partitioning invariance (the CountVectorizer-order hazard of the ml path)
+    got3 = {
+        r["surface"]: (r["linked_canonical"], r["jaccard_distance"])
+        for r in link_fuzzy_grams(surfaces.repartition(3), lex).collect()
+    }
+    assert got3 == {s: (r["linked_canonical"], r["jaccard_distance"]) for s, r in got.items()}
+
+
+def test_misspelled_corpus_needs_fuzzy_recovery(spark):
+    """End-to-end fixture sanity: exact-lexicon extraction on the misspelled
+    corpus LOSES golden triples (the misspellings are invisible to the
+    regex), so the flagship fuzzy query's green oracle row is evidence of
+    recovery, not of an untouched corpus."""
+    from ontology_pipeline_spark.lexicon import lexicon_rows
+    from ontology_pipeline_spark.operators.relations import extract_triples_fused
+    from ontology_pipeline_spark.synth import generate_misspelled_corpus, pages_df
+
+    corpus, injected = generate_misspelled_corpus(n_pages=200, seed=17)
+    assert len(injected) >= 3  # several distinct misspellings actually seeded
+    pages = pages_df(spark, corpus)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in extract_triples_fused(pages, lexicon_rows())
+        .select("subj", "pred", "obj", "url")
+        .collect()
+    }
+    want = set(corpus.expected_triples)
+    assert got < want  # strictly missing triples without the fuzzy tier
+
+
 def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], ["src", "dst"]

@@ -200,6 +200,37 @@ def test_negative_pages_commit_lineage(spark, tmp_path):
     assert zero >= 1
 
 
+def test_pipeline_through_explicit_sink_and_iceberg_guard(spark, tmp_path):
+    """The commit protocol runs entirely through the triple-sink seam: an
+    explicitly constructed ParquetTripleSink behaves identically to the
+    out_dir convenience path, and IcebergTripleSink fails fast with a
+    descriptive error in a sandbox without the Iceberg runtime."""
+    import pytest
+
+    from ontology_pipeline_spark.sources.tables import (
+        IcebergTripleSink,
+        ParquetTripleSink,
+    )
+
+    corpus = generate_corpus(n_pages=30, seed=37)
+    src = str(tmp_path / "pages")
+    pages_df(spark, corpus).write.parquet(src)
+    sink = ParquetTripleSink(str(tmp_path / "kg"))
+
+    s = run_pipeline(spark, src, sink=sink)
+    assert s["new_pages"] == 30
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in read_triples(spark, sink=sink).collect()
+    }
+    assert got == set(corpus.expected_triples)
+    # resume goes through the sink too
+    assert run_pipeline(spark, src, sink=sink)["new_pages"] == 0
+
+    with pytest.raises(RuntimeError, match="iceberg"):
+        IcebergTripleSink(spark, "cat.db.triples", "cat.db.lineage", "cat.db.metrics")
+
+
 def test_distributed_pages_deterministic_and_extractable(spark):
     """Executor-side corpus generation: schema matches PAGES, content is
     deterministic for a seed (partitioning-independent), and the fused
