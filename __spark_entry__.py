@@ -1444,11 +1444,15 @@ def oracle_sql() -> dict[str, str]:
     _ms_rows = ", ".join(
         f"('{_q(m)}', '{_q(a)}')" for m, a in sorted(METRIC_SOURCE.items())
     )
+    from ontology_pipeline_spark.lexicon import TECH_INFO
+
+    _ti_rows = ", ".join(f"('{_q(t)}')" for t in sorted(TECH_INFO))
     o["extraction_docs_synthetic"] = f"""
         WITH m(url, name, cls) AS (VALUES {_m_rows}),
         t(subj, pred, obj, url) AS (VALUES {_t_rows}),
         p(url, text_length) AS (VALUES {_p_rows}),
-        ms(metric, src) AS (VALUES {_ms_rows})
+        ms(metric, src) AS (VALUES {_ms_rows}),
+        ti(tech) AS (VALUES {_ti_rows})
         SELECT p.url,
                cast(p.text_length AS BIGINT) AS text_length,
                cast((SELECT count(DISTINCT name) FROM m WHERE m.url = p.url AND cls = 'construct') AS INT) AS constructs_identified,
@@ -1462,8 +1466,8 @@ def oracle_sql() -> dict[str, str]:
                      WHERE t.url = p.url AND pred = 'measures') AS INT) AS n_measured_constructs,
                cast((SELECT count(DISTINCT m.name) FROM m JOIN ms ON m.name = ms.metric
                      WHERE m.url = p.url AND m.cls = 'metric') AS INT) AS n_sourced_metrics,
-               cast((SELECT count(DISTINCT name) FROM m
-                     WHERE m.url = p.url AND cls = 'technology') AS INT) AS n_vendored_techs,
+               cast((SELECT count(DISTINCT m.name) FROM m JOIN ti ON m.name = ti.tech
+                     WHERE m.url = p.url AND m.cls = 'technology') AS INT) AS n_vendored_techs,
                (SELECT min(ms.src) FROM m JOIN ms ON m.name = ms.metric
                 WHERE m.url = p.url AND m.cls = 'metric') AS first_metric_source
         FROM p

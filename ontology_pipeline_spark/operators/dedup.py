@@ -27,6 +27,60 @@ from .text_analysis import fingerprint, simhash, tokens
 _MERSENNE = (1 << 31) - 1
 
 
+def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The seeded universal-hash coefficient schedule shared by every MinHash
+    consumer (document shingles here, char-gram linking in linking.py) and
+    replayed verbatim by scripts/golden_replay.py — change only together
+    with regenerated goldens."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_fold(hash_arr, coeffs: list[tuple[int, int]]):
+    """One-pass signature fold: all len(coeffs) minima computed in a single
+    `aggregate` over an array of pmod-hashed values (the naive one
+    array_min-per-hash formulation re-evaluates the input tree per hash
+    function — measured ~32x the work; see minhash_signatures)."""
+    coeff_arr = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in coeffs
+        ]
+    )
+    return F.aggregate(
+        hash_arr,
+        F.array_repeat(F.lit(_MERSENNE).cast("long"), len(coeffs)),
+        lambda acc, h: F.zip_with(
+            acc,
+            coeff_arr,
+            lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(_MERSENNE))),
+        ),
+    )
+
+
+def band_structs(sig_col, bands: int, rows_per_band: int, band_field: str = "band", bucket_field: str = "bucket"):
+    """Array of (band, bucket-of-signature-slice) structs for LSH banding —
+    explode it to get one row per band."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias(band_field),
+                F.hash(
+                    F.slice(sig_col, i * rows_per_band + 1, rows_per_band)
+                ).alias(bucket_field),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
 def exact_dedup(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -249,10 +303,6 @@ def minhash_signatures(
     `array_min(transform(...))` per hash function) re-evaluates the whole
     tokenize->shingle->xxhash tree per hash function: ~32x the work —
     measured 173 s vs <2 s on 5k docs, single partition."""
-    import random
-
-    rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
     staged = documents.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("_t"),
@@ -263,23 +313,7 @@ def minhash_signatures(
             lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
         ).alias("_h"),
     )
-    coeff_arr = F.array(
-        *[
-            F.struct(
-                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
-            )
-            for a, b in coeffs
-        ]
-    )
-    sig = F.aggregate(
-        F.col("_h"),
-        F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            coeff_arr,
-            lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(_MERSENNE))),
-        ),
-    )
+    sig = minhash_fold(F.col("_h"), minhash_coeffs(num_hashes, seed))
     return staged.select(
         "doc_id",
         F.when(F.size("_h") > 0, sig).alias("signature"),
@@ -320,19 +354,7 @@ def minhash_lsh_pairs(
     # slim band table (no signatures) so the collision join shuffles only ids
     banded = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(
-                            F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(band_structs(F.col("signature"), bands, rows_per_band)).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
     a = banded.alias("a")

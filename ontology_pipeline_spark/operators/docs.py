@@ -220,14 +220,13 @@ def coverage_report(mentions: DataFrame, lexicon_rows: list[tuple]) -> DataFrame
         F.count(F.lit(1)).alias("n_lexicon"),
         F.count("_hit").alias("n_mentioned"),
         F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("coverage_ratio"),
-        F.coalesce(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(F.when(F.col("_hit").isNull(), F.col("canonical")))
-                ),
-                "|",
+        # collect_list skips nulls and yields [] (never null) for a fully
+        # covered class, so array_join already produces '' there
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.when(F.col("_hit").isNull(), F.col("canonical")))
             ),
-            F.lit(""),
+            "|",
         ).alias("missed_entities"),
     )
 

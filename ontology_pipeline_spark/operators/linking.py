@@ -169,51 +169,23 @@ def link_fuzzy_grams(
     `link_fuzzy`: (surface, linked_canonical, linked_class,
     jaccard_distance), best candidate per surface, deterministic tie-break.
     """
-    import random as _random
-
     rows_per_band = num_hashes // bands
     assert num_hashes % bands == 0
-    rng = _random.Random(seed)
-    from .dedup import _MERSENNE
+    # same machinery as document near-dup (one shared implementation of the
+    # coefficient schedule / signature fold / banding in operators/dedup.py)
+    from .dedup import _MERSENNE, band_structs, minhash_coeffs, minhash_fold
 
-    coeffs = [
-        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
-        for _ in range(num_hashes)
-    ]
-    coeff_arr = F.array(
-        *[
-            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
-            for a, b in coeffs
-        ]
-    )
+    coeffs = minhash_coeffs(num_hashes, seed)
 
     def sig_of(gram_col):
         hashes = F.transform(gram_col, lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE)))
-        return F.aggregate(
-            hashes,
-            F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes),
-            lambda acc, h: F.zip_with(
-                acc,
-                coeff_arr,
-                lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(_MERSENNE))),
-            ),
-        )
+        return minhash_fold(hashes, coeffs)
 
     def banded(df, sig_name):
         return df.select(
             "*",
             F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("_band"),
-                            F.hash(
-                                F.slice(F.col(sig_name), i * rows_per_band + 1, rows_per_band)
-                            ).alias("_bucket"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
+                band_structs(F.col(sig_name), bands, rows_per_band, "_band", "_bucket")
             ).alias("_bb"),
         ).select("*", "_bb._band", "_bb._bucket").drop("_bb")
 

@@ -34,8 +34,6 @@ from ..operators.relations import (
 )
 from ..lexicon import lexicon_rows as default_lexicon_rows
 
-N_SUBJECT_BUCKETS = 32
-
 
 def build_triples(
     pages: DataFrame,
@@ -108,14 +106,13 @@ def run_pipeline(
     # the two writes leaves an orphan run partition that readers never see
     # and the next resume run reprocesses cleanly — no duplicate triples in
     # the committed view (the Iceberg analog is a single snapshot commit).
-    triples = build_triples(pages, lexicon_rows, from_html=from_html)
-    triples_b = triples.withColumn(
-        "bucket", F.pmod(F.xxhash64("subj"), F.lit(N_SUBJECT_BUCKETS))
-    ).withColumn("run_id", F.lit(run_id))
     # replace-not-append: retrying a crashed run with the SAME caller-supplied
     # run_id must replace that run's partitions, or the retry would append a
-    # second copy of every triple under them
-    sink.write_run_triples(triples_b)
+    # second copy of every triple under them.  Physical layout (the parquet
+    # sink's explicit `bucket` column vs Iceberg's hidden bucket(N, subj)
+    # transform) is the SINK's concern — plan code only stamps run_id.
+    triples = build_triples(pages, lexicon_rows, from_html=from_html)
+    sink.write_run_triples(triples.withColumn("run_id", F.lit(run_id)))
 
     # per-url lineage: every new page commits a row even if it emitted no
     # triples (negative pages must not be reprocessed forever).  Reads back

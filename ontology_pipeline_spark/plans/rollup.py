@@ -87,6 +87,10 @@ def refresh_rollup(
             F.bit_xor(F.xxhash64(*data_cols)).alias("fingerprint"),
         )
     )
+    # Driver-side manifest diff: bounded by CHUNK COUNT, not row count —
+    # one row per (chunk) after the aggregate, e.g. 365/year at day chunks,
+    # ~8.8k/year at hour chunks; at finer granularities or decade spans,
+    # keep the diff as an anti-join instead of collecting.
     new_state = {
         r["chunk"]: (r["n_rows"], r["fingerprint"]) for r in counts.collect()
     }

@@ -80,8 +80,9 @@ class ParquetTripleSink:
         <root>/metrics/part-*.parquet              (append)
     """
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, n_subject_buckets: int = 32):
         self.root = root
+        self.n_subject_buckets = n_subject_buckets
         self.triples_path = os.path.join(root, "triples")
         self.lineage_path = os.path.join(root, "lineage")
         self.metrics_path = os.path.join(root, "metrics")
@@ -103,10 +104,16 @@ class ParquetTripleSink:
     # -- commit (phase 1: triples, phase 2: lineage) ----------------------
     def write_run_triples(self, df: DataFrame) -> None:
         """Replace this run's partitions atomically-enough for the protocol:
-        dynamic partition overwrite of (run_id, bucket).  Iceberg analog:
-        `writeTo(t).overwritePartitions()` — one snapshot commit."""
+        dynamic partition overwrite of (run_id, bucket).  The subject-hash
+        `bucket` column is THIS sink's physical-layout detail (parquet has no
+        hidden partition transforms); Iceberg expresses the same layout as a
+        `bucket(N, subj)` transform with no data column — which is why the
+        plan above the seam does not add it."""
         (
-            df.write.mode("overwrite")
+            df.withColumn(
+                "bucket", F.pmod(F.xxhash64("subj"), F.lit(self.n_subject_buckets))
+            )
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("run_id", "bucket")
             .parquet(self.triples_path)
@@ -174,9 +181,18 @@ class IcebergTripleSink:
         self.metrics_table = metrics_table
 
     def read_done_urls(self, spark: SparkSession, exclude_run_id: str) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
         try:
             lineage = spark.read.table(self.lineage_table)
-        except Exception:
+        except AnalysisException as e:
+            # ONLY table-not-found means "no lineage yet".  Swallowing other
+            # failures (catalog/auth/network) would silently disable resume,
+            # reprocess every page under a new run_id, and make the committed
+            # view return two copies of every triple for those urls.
+            err_class = getattr(e, "getErrorClass", lambda: None)() or ""
+            if "TABLE_OR_VIEW_NOT_FOUND" not in (err_class + " " + str(e)):
+                raise
             return None
         return (
             lineage.filter(F.col("run_id") != exclude_run_id).select("url").distinct()

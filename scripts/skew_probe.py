@@ -89,7 +89,9 @@ def main() -> None:
     # skew quantification: share of the hottest subject in the triple stream
     from pyspark.sql import functions as F
 
-    tri = extract_triples_fused(pages, lex)
+    # pin: two actions below (top-3 and total) must not re-run the 1M-page
+    # Python extraction stage each (CLAUDE.md multi-consumer rule)
+    tri = extract_triples_fused(pages, lex).localCheckpoint(eager=False)
     top = (
         tri.groupBy("subj").count().orderBy(F.desc("count")).limit(3).collect()
     )
