@@ -798,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     lambda x: x.isNotNull(),
                 )
             ).alias("first_metric_source"),
+            F.size(F.flatten("technologies.used_for_assessments")).alias("n_tech_links"),
         ).orderBy("url")
 
     q["extraction_docs_synthetic"] = extraction_docs_synthetic
@@ -1447,12 +1448,16 @@ def oracle_sql() -> dict[str, str]:
     from ontology_pipeline_spark.lexicon import TECH_INFO
 
     _ti_rows = ", ".join(f"('{_q(t)}')" for t in sorted(TECH_INFO))
+    _tl_rows = ", ".join(
+        f"('{_q(u)}', '{_q(t)}', '{_q(a)}')" for u, t, a in _c13.expected_tech_links
+    )
     o["extraction_docs_synthetic"] = f"""
         WITH m(url, name, cls) AS (VALUES {_m_rows}),
         t(subj, pred, obj, url) AS (VALUES {_t_rows}),
         p(url, text_length) AS (VALUES {_p_rows}),
         ms(metric, src) AS (VALUES {_ms_rows}),
-        ti(tech) AS (VALUES {_ti_rows})
+        ti(tech) AS (VALUES {_ti_rows}),
+        tl(url, tech, assessment) AS (VALUES {_tl_rows})
         SELECT p.url,
                cast(p.text_length AS BIGINT) AS text_length,
                cast((SELECT count(DISTINCT name) FROM m WHERE m.url = p.url AND cls = 'construct') AS INT) AS constructs_identified,
@@ -1469,7 +1474,9 @@ def oracle_sql() -> dict[str, str]:
                cast((SELECT count(DISTINCT m.name) FROM m JOIN ti ON m.name = ti.tech
                      WHERE m.url = p.url AND m.cls = 'technology') AS INT) AS n_vendored_techs,
                (SELECT min(ms.src) FROM m JOIN ms ON m.name = ms.metric
-                WHERE m.url = p.url AND m.cls = 'metric') AS first_metric_source
+                WHERE m.url = p.url AND m.cls = 'metric') AS first_metric_source,
+               cast((SELECT count(DISTINCT (tl.tech, tl.assessment)) FROM tl
+                     WHERE tl.url = p.url) AS INT) AS n_tech_links
         FROM p
         ORDER BY p.url
     """

@@ -59,6 +59,11 @@ def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> 
         ]
     )
 
+    # mentions feeds the entity rollup AND the sentence-level co-occurrence
+    # self-join below — pin once (multi-consumer rule; Catalyst re-executes
+    # the Python mention stage per consumer otherwise)
+    mentions = mentions.localCheckpoint(eager=False)
+
     ents = mentions.groupBy("url").agg(
         F.sort_array(
             F.collect_set(
@@ -163,10 +168,31 @@ def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> 
             ),
         )
 
+    # sentence-level technology->assessment usage (reference technologies[]
+    # `used_for_assessments`, src/prompts.py:131-137): a tech and an
+    # assessment mentioned in the SAME sentence are linked.  Equi-join on
+    # (url, sent_id) — high-cardinality keys, well-spread shuffle.
+    m_t = mentions.filter(F.col("entity_class") == "technology").select(
+        "url", "sent_id", F.col("canonical").alias("_t")
+    )
+    m_a = mentions.filter(F.col("entity_class") == "assessment").select(
+        "url", "sent_id", F.col("canonical").alias("_a")
+    )
+    ta = (
+        m_t.join(m_a, ["url", "sent_id"])
+        .groupBy("url")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("_t").alias("t"), F.col("_a").alias("a")))
+            ).alias("_ta")
+        )
+    )
+
     docs = (
         pages.select("url", F.length("text").cast("long").alias("text_length"))
         .join(ents, "url", "left")
         .join(tri, "url", "left")
+        .join(ta, "url", "left")
     )
 
     ac_links = F.transform(
@@ -226,7 +252,16 @@ def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> 
                 vendor_map[n].alias("vendor_manufacturer"),
                 techtype_map[n].alias("technology_type"),
                 model_map[n].alias("specific_model"),
-                F.lit(None).cast("array<string>").alias("used_for_assessments"),
+                # assessments sharing a sentence with this tech on this page
+                # (`_ta` is a sorted SET of (t, a) pairs -> the filtered
+                # a-list is sorted and distinct already)
+                F.transform(
+                    F.filter(
+                        F.coalesce(F.col("_ta"), F.array()),
+                        lambda s: s["t"] == n,
+                    ),
+                    lambda s: s["a"],
+                ).alias("used_for_assessments"),
             ),
         ).alias("technologies"),
         F.coalesce(F.col("metrics"), F.array()).alias("metrics"),

@@ -61,6 +61,30 @@ def run_stream_once(
     q.awaitTermination()
 
 
+def deduped_page_stream(
+    pages_stream: DataFrame,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-crawled/duplicate pages by content
+    fingerprint within the watermark horizon (the streaming analog of
+    `operators.dedup.exact_dedup`).
+
+    `dropDuplicatesWithinWatermark` bounds the dedup state by event time —
+    a fingerprint older than the watermark is evicted, so state is
+    O(pages per horizon), not O(corpus); re-crawls of the SAME url with
+    changed content pass through (different fingerprint), which is exactly
+    the incremental-update behavior the KG pipeline wants upstream of
+    extraction."""
+    from ..operators.text_analysis import fingerprint
+
+    fp = pages_stream.withColumn("_fp", fingerprint(F.col("text")))
+    return (
+        fp.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def windowed_mention_counts(
     pages_stream: DataFrame,
     lexicon_rows: list[tuple] | None = None,

@@ -74,6 +74,9 @@ class Corpus:
     expected_mentions: list[tuple]  # (url, canonical, entity_class)
     expected_triples: list[tuple]  # (subj, pred, obj, url)
     text_sha256: dict[str, str] = field(default_factory=dict)
+    # same-sentence (technology, assessment) pairs — the golden for the
+    # documents' used_for_assessments field (sentence-level co-occurrence)
+    expected_tech_links: list[tuple] = field(default_factory=list)  # (url, tech, assessment)
 
 
 def _html_escape(s: str) -> str:
@@ -110,7 +113,7 @@ def _gen_page(i: int, rng: random.Random, vocab: dict[str, list[str]]):
     url = f"https://ex{i % 37}.test/p{i}"
     ts = _BASE_TS + dt.timedelta(seconds=i * 61)
     lang = "en"
-    mentions, triples = [], []
+    mentions, triples, tech_links = [], [], []
     if i % 13 == 12:  # deterministic ~8% negatives
         lang = "de" if i % 2 == 0 else "fr"
         sents = [rng.choice(NON_EN_FILLER[lang]) for _ in range(rng.randint(2, 4))]
@@ -139,9 +142,17 @@ def _gen_page(i: int, rng: random.Random, vocab: dict[str, list[str]]):
                 mentions.append((url, names[k], cls))
             for s_slot, pred, o_slot in triple_slots:
                 triples.append((names[s_slot], pred, names[o_slot], url))
+            # same-sentence tech->assessment usage pairs (generic over the
+            # template bank: any sentence mentioning both classes)
+            for kt, ct in enumerate(classes):
+                if ct != "technology":
+                    continue
+                for ka, ca in enumerate(classes):
+                    if ca == "assessment":
+                        tech_links.append((url, names[kt], names[ka]))
         text = "\n".join(sents)
     html = wrap_html(f"Page {i}", text.split("\n"))
-    return (url, ts, html, text, lang), mentions, triples
+    return (url, ts, html, text, lang), mentions, triples, tech_links
 
 
 def generate_corpus(n_pages: int = 500, seed: int = 42) -> Corpus:
@@ -149,17 +160,19 @@ def generate_corpus(n_pages: int = 500, seed: int = 42) -> Corpus:
     rng = random.Random(seed)
     vocab = _vocab()
 
-    pages, mentions, triples = [], [], []
+    pages, mentions, triples, tech_links = [], [], [], []
     hashes: dict[str, str] = {}
     for i in range(n_pages):
-        page, m, t = _gen_page(i, rng, vocab)
+        page, m, t, tl = _gen_page(i, rng, vocab)
         pages.append(page)
         mentions.extend(m)
         triples.extend(t)
+        tech_links.extend(tl)
         hashes[page[0]] = hashlib.sha256(page[3].encode("utf-8")).hexdigest()
 
     return Corpus(pages, expected_mentions=sorted(set(mentions)),
-                  expected_triples=triples, text_sha256=hashes)
+                  expected_triples=triples, text_sha256=hashes,
+                  expected_tech_links=sorted(set(tech_links)))
 
 
 # Names safe to misspell in the fuzzy-linking fixture: none is a substring
@@ -241,7 +254,7 @@ def distributed_pages(spark, n_pages: int, seed: int = 7, partitions: int | None
             rows = []
             for i in pdf["id"]:
                 rng = random.Random(seed * 1_000_003 + int(i))
-                page, _m, _t = _gen_page(int(i), rng, vocab)
+                page, _m, _t, _tl = _gen_page(int(i), rng, vocab)
                 rows.append(page)
             yield pd.DataFrame(rows, columns=cols)
 

@@ -92,6 +92,9 @@ def test_docs_fidelity_fields_filled(spark):
     assert t["COSMED"]["vendor_manufacturer"] == vend
     assert t["COSMED"]["technology_type"] == ttype
     assert t["COSMED"]["specific_model"] == model  # None stays honest
+    # sentence-level co-occurrence: COSMED shares its sentence with the
+    # VO2 Max Test, and only that assessment
+    assert t["COSMED"]["used_for_assessments"] == ["VO2 Max Test"]
 
 
 def test_docs_no_mention_page_gets_empty_arrays(spark):

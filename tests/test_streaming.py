@@ -102,3 +102,42 @@ def test_windowed_mention_counts_html_only_pages(spark, tmp_path):
         spark.createDataFrame(corpus.pages, schema=PAGES), lexicon_rows()
     ).count()
     assert total == batch_total > 0
+
+
+def test_deduped_page_stream_drops_recrawls(spark, tmp_path):
+    """Streaming exact dedup: identical-content re-crawls are dropped within
+    the watermark horizon; changed-content re-crawls pass through."""
+    import datetime as dt
+
+    from ontology_pipeline_spark.streaming.stream import deduped_page_stream
+
+    base_ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("https://a.test/p1", base_ts, None, "alpha beta gamma", "en"),
+        # re-crawl, same content, 1h later -> duplicate, dropped
+        ("https://a.test/p1", base_ts + dt.timedelta(hours=1), None, "alpha beta gamma", "en"),
+        # re-crawl with CHANGED content -> kept
+        ("https://a.test/p1", base_ts + dt.timedelta(hours=2), None, "alpha beta delta", "en"),
+        # different url, same content as p1 -> near-crawl mirror, dropped
+        ("https://b.test/p9", base_ts + dt.timedelta(hours=3), None, "alpha beta gamma", "en"),
+        ("https://c.test/p2", base_ts, None, "totally different", "en"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, schema=PAGES).write.parquet(src)
+
+    q = (
+        deduped_page_stream(read_page_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select url, text from dedup_stream").collect()
+    got = sorted((r["url"], r["text"]) for r in out)
+    assert got == [
+        ("https://a.test/p1", "alpha beta delta"),
+        ("https://a.test/p1", "alpha beta gamma"),
+        ("https://c.test/p2", "totally different"),
+    ]
