@@ -631,6 +631,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    def embedding_dedup_clusters(spark, sf):
+        """Embedding near-dup CLUSTERS: cosine pairs within label blocks
+        (same parameters as embedding_close_pairs) collapsed by connected
+        components, min-vec_id representative.  Fully SQL-expressible: the
+        oracle recomputes the pairs in DuckDB and propagates min labels with
+        a recursive CTE (same pattern as canonical_components)."""
+        from ontology_pipeline_spark.operators.canonicalize import connected_components
+
+        pairs = embedding_cosine_pairs(
+            _t(spark, sf, "embeddings"), block_col="label", threshold=0.35
+        )
+        cc = connected_components(
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        return cc.select(
+            F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+        )
+
+    q["embedding_dedup_clusters"] = embedding_dedup_clusters
+
+    def doc_hash_sample(spark, sf):
+        """Deterministic consistent sampling: keys hashing below 10% of the
+        hash space (group-preserving, cross-table-consistent — the standard
+        trick for subsampling joinable corpora).  Golden replay oracle."""
+        from ontology_pipeline_spark.operators.sampling import hash_sample
+
+        return hash_sample(_t(spark, sf, "documents"), "doc_id", 0.1).select(
+            "doc_id", "source"
+        )
+
+    q["doc_hash_sample"] = doc_hash_sample
+
+    def stratified_doc_sample(spark, sf):
+        """Per-source stratified draw: the 3 docs with the smallest
+        (hash rank, key) per stratum — exactly n per group, deterministic,
+        WindowGroupLimit-pruned below the exchange.  Golden replay oracle."""
+        from ontology_pipeline_spark.operators.sampling import stratified_hash_sample
+
+        return stratified_hash_sample(
+            _t(spark, sf, "documents"), ["source"], 3, "doc_id"
+        ).select("source", "doc_id")
+
+    q["stratified_doc_sample"] = stratified_doc_sample
+
     def ann_topk_q0(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qv = [
@@ -1367,6 +1411,29 @@ def oracle_sql() -> dict[str, str]:
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+    """
+
+    o["embedding_dedup_clusters"] = """
+        WITH RECURSIVE e AS (
+            SELECT vec_id, label, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.node, e2.b FROM reach r JOIN edges e2 ON r.lbl = e2.a
+        )
+        SELECT node AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY node
     """
 
     o["node_degrees"] = f"""

@@ -1,0 +1,63 @@
+"""Deterministic sampling operators for training-data curation.
+
+Engine extensions (the reference has no sampling; a 100 TB corpus pipeline
+needs it constantly): both operators are pure JVM expressions keyed on
+xxhash64, so they are
+
+* deterministic — the same row is selected on every run, every engine,
+  every partitioning (unlike `df.sample`, whose output depends on the
+  partition layout);
+* CONSISTENT across tables — any table sharing the key column samples the
+  same keys, so sampled fact/dim tables still join losslessly (the standard
+  hash-threshold trick for subsampling joinable corpora);
+* mergeable/resumable — a sample at rate r1 is a superset of rate r2 < r1,
+  so widening a sample never redraws it.
+
+Scale: `hash_sample` is a narrow filter (pushed into the scan's ReadSchema
+world, no shuffle).  `stratified_hash_sample` is a per-group top-n by hash
+rank; the row_number filter compiles to WindowGroupLimit, which pre-prunes
+to n rows per group per map task BELOW the exchange — a hot group ships n
+rows, not its raw stream (same mechanism as the KMV sketch prune).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# match the MinHash modulus so hash ranks live in a familiar space
+_MERSENNE = (1 << 31) - 1
+
+
+def _hash_rank(key: Column) -> Column:
+    """Deterministic rank in [0, 2^31-1): pmod(xxhash64(key), p)."""
+    return F.pmod(F.xxhash64(key), F.lit(_MERSENNE))
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Keep rows whose key hashes below `rate` of the hash space.
+
+    E[f] = rate of DISTINCT keys kept (all rows of a kept key survive —
+    group-preserving, unlike row-level Bernoulli sampling)."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_hash_rank(F.col(key_col)) < int(rate * _MERSENNE))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    n_per_group: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly n (or all, if fewer) rows per group: the n smallest
+    (hash_rank(key), key) — a deterministic uniform draw per stratum with a
+    total-order tie-break on the key itself."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hash_rank(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )

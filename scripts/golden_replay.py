@@ -106,6 +106,20 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def xxh64_long(l: int, seed: int = 42) -> int:
+    """Spark xxhash64 over a LONG input (hashLong path): one 8-byte lane of
+    the two's-complement little-endian value."""
+    h = (seed + _P5 + 8) & _M64
+    h ^= _round(0, l & _M64)
+    h = (_rotl(h, 27) * _P1 + _P4) & _M64
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 # ------------------------------------------------------------ text utils
 # Java \s (used by F.split) is the ASCII whitespace class; documents at
 # sf0.01 are verified ASCII so str.lower() == F.lower here.
@@ -197,6 +211,24 @@ def replay_dedup_clusters(docs, num_hashes=32, bands=8, shingle_n=2, seed=42, th
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return sorted((d, find(d)) for d in parent)
+
+
+def replay_hash_sample(doc_rows, rate=0.1):
+    """hash_sample replay: keep keys with pmod(xxhash64(key), p) < rate*p."""
+    thr = int(rate * _MERSENNE)
+    return sorted((d, s) for d, s in doc_rows if xxh64_long(d) % _MERSENNE < thr)
+
+
+def replay_stratified_sample(doc_rows, n=3):
+    """stratified_hash_sample replay: n smallest (hash rank, key) per group."""
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for d, src in doc_rows:
+        groups.setdefault(src, []).append((xxh64_long(d) % _MERSENNE, d))
+    out = []
+    for src, ranked in groups.items():
+        for _r, d in sorted(ranked)[:n]:
+            out.append((src, d))
+    return sorted(out)
 
 
 # -------------------------------------------------------------- simhash
@@ -336,6 +368,11 @@ def main() -> None:
     ann = replay_ann_topk(vecs, qv)
     ivf = replay_ivf_topk(vecs, qv)
     clusters = replay_dedup_clusters(docs)
+    doc_src = con.execute(
+        f"SELECT doc_id, source FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    hsamp = replay_hash_sample(doc_src)
+    ssamp = replay_stratified_sample(doc_src)
     print(
         f"minhash pairs: {len(mh)}, simhash groups: {len(sh)}, ann: {len(ann)}, "
         f"ivf: {len(ivf)}, cluster rows: {len(clusters)}"
@@ -347,6 +384,8 @@ def main() -> None:
         "ann_topk_q0": _sql_values(ann, "vec_id, cosine"),
         "ivf_ann_q0": _sql_values(ivf, "vec_id, cosine"),
         "dedup_clusters": _sql_values(clusters, "doc_id, cluster_id"),
+        "doc_hash_sample": _sql_values(hsamp, "doc_id, source"),
+        "stratified_doc_sample": _sql_values(ssamp, "source, doc_id"),
     }
     with open(OUT, "w") as f:
         f.write(

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from ontology_pipeline_spark.session import get_spark
@@ -8,7 +10,15 @@ from ontology_pipeline_spark.synth import generate_corpus
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(master="local[4]", app_name="ops-tests", shuffle_partitions=8)
+    # warehouse in a temp dir: the bucketed-table tests use saveAsTable,
+    # which would otherwise create ./spark-warehouse inside the repo
+    wh = tempfile.mkdtemp(prefix="spark-warehouse-")
+    s = get_spark(
+        master="local[4]",
+        app_name="ops-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
     s.stop()
 

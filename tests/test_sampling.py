@@ -1,0 +1,65 @@
+"""Deterministic sampling: consistency, supersets, stratified exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ontology_pipeline_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    s1 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs.repartition(7), "doc_id", 0.2).collect()}
+    assert s1 == s2  # partition-layout independent (unlike df.sample)
+    assert 0.05 * n < len(s1) < 0.5 * n  # ~rate of distinct keys
+
+
+def test_hash_sample_consistent_across_tables(spark):
+    """The core property: two tables sharing the key sample the SAME keys,
+    so sampled tables still join losslessly."""
+    docs = _docs(spark)
+    other = docs.select("doc_id", F.length("text").alias("n"))  # a 'fact' table
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(other, "doc_id", 0.3).collect()}
+    assert a == b
+
+
+def test_hash_sample_superset_monotone(spark):
+    """Widening the rate only ADDS keys — a sample is resumable/extendable
+    without redrawing."""
+    docs = _docs(spark)
+    s_small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    s_big = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.4).collect()}
+    assert s_small < s_big
+
+
+def test_hash_sample_rejects_bad_rate(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample(_docs(spark), "doc_id", 1.5)
+
+
+def test_stratified_exact_n_per_group(spark):
+    docs = _docs(spark)
+    out = stratified_hash_sample(docs, ["source"], 4, "doc_id")
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in per.items():
+        assert n == min(4, sizes[src])
+    # deterministic across partitionings
+    a = sorted((r["source"], r["doc_id"]) for r in out.collect())
+    b = sorted(
+        (r["source"], r["doc_id"])
+        for r in stratified_hash_sample(docs.repartition(5), ["source"], 4, "doc_id").collect()
+    )
+    assert a == b
