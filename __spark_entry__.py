@@ -816,7 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the join path (multiset-equal to the fused path, tested) instead
         # of a second full-page Python stage
         ments = detect_mentions(pages, lex).localCheckpoint(eager=False)
-        docs = assemble_docs(ments, score_relations(ments), pages)
+        docs = assemble_docs(ments, score_relations(ments), pages, pin_mentions=False)
         return docs.select(
             "url",
             "text_length",

@@ -135,7 +135,11 @@ def candidate_surfaces(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # regexp_extract_all, NOT split+filter: splitting 1M pages on a
     # char-class regex measured 57 s vs 1.3 s for direct extraction (the
-    # split materializes every lowercase token only to discard it)
+    # split materializes every lowercase token only to discard it).  This is
+    # also slightly WIDER than a boundary-anchored token filter: an
+    # uppercase run starting mid-token ("xCOSMED" -> "COSMED") becomes a
+    # candidate too — intentional, candidates are recall-loose by design and
+    # unlinkable fragments are dropped by the linker.
     toks = F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Z][A-Za-z0-9-]*"), 0)
     return (
         df.select(F.explode(F.array_union(runs, toks)).alias("surface"))

@@ -25,13 +25,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# match the MinHash modulus so hash ranks live in a familiar space
-_MERSENNE = (1 << 31) - 1
+from .dedup import _MERSENNE  # one shared modulus across all hash-rank ops
 
 
 def _hash_rank(key: Column) -> Column:
-    """Deterministic rank in [0, 2^31-1): pmod(xxhash64(key), p)."""
-    return F.pmod(F.xxhash64(key), F.lit(_MERSENNE))
+    """Deterministic rank in [0, 2^31-1): pmod(xxhash64(cast(key AS string)), p).
+
+    The cast-to-string is load-bearing for the cross-table consistency
+    guarantee: Spark's xxhash64 is TYPE-sensitive (an INT 7 and a BIGINT 7
+    hash differently), so two tables storing the shared key at different
+    physical widths would otherwise sample different key sets and silently
+    break the lossless-join property."""
+    return F.pmod(F.xxhash64(key.cast("string")), F.lit(_MERSENNE))
 
 
 def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
@@ -56,8 +61,12 @@ def stratified_hash_sample(
     w = Window.partitionBy(*group_cols).orderBy(
         _hash_rank(F.col(key_col)), F.col(key_col)
     )
+    # never clobber a caller column named _rn
+    rn = "_rn"
+    while rn in df.columns:
+        rn += "_"
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_per_group)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n_per_group)
+        .drop(rn)
     )

@@ -6,9 +6,10 @@ the same shape from the engine's mentions + triples — so downstream consumers
 of the reference's `extraction_results.json` can switch engines without
 changing their readers:
 
-    mentions (url, canonical, entity_class)  ┐ one groupBy(url) each —
-    triples  (url, subj, pred, obj, classes) ┘ two shuffles total, then a
-    per-url join (co-partitioned) -> EXTRACTION_DOC rows -> to_json export.
+    mentions (url, sent_id, canonical, entity_class) -> entity rollup +
+    sentence-level tech->assessment co-occurrence; triples (url, subj, pred,
+    obj, classes) -> relationship rollup; then per-url joins
+    (co-partitioned) -> EXTRACTION_DOC rows -> to_json export.
 
 All arrays are sorted for determinism (SURVEY.md hard-part 3: never rely on
 collect order).
@@ -22,8 +23,21 @@ from pyspark.sql import functions as F
 from ..lexicon import METRIC_SOURCE, ONTOLOGY_VOCAB, TECH_INFO
 
 
-def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> DataFrame:
-    """(mentions, triples, pages) -> reference-shaped document rows."""
+def assemble_docs(
+    mentions: DataFrame,
+    triples: DataFrame,
+    pages: DataFrame,
+    pin_mentions: bool = True,
+) -> DataFrame:
+    """(mentions, triples, pages) -> reference-shaped document rows.
+
+    `mentions` must carry (url, sent_id, canonical, entity_class) — sent_id
+    feeds the sentence-level technology->assessment co-occurrence join.
+    Shuffles: one groupBy(url) each for entities and triples, plus the
+    (url, sent_id) co-occurrence join + its groupBy(url) — then per-url
+    joins (co-partitioned).  Pass ``pin_mentions=False`` if the caller
+    already localCheckpoint-ed the frame (a second checkpoint would
+    materialize a redundant copy)."""
     parent_map = F.create_map(
         *[
             x
@@ -62,7 +76,8 @@ def assemble_docs(mentions: DataFrame, triples: DataFrame, pages: DataFrame) -> 
     # mentions feeds the entity rollup AND the sentence-level co-occurrence
     # self-join below — pin once (multi-consumer rule; Catalyst re-executes
     # the Python mention stage per consumer otherwise)
-    mentions = mentions.localCheckpoint(eager=False)
+    if pin_mentions:
+        mentions = mentions.localCheckpoint(eager=False)
 
     ents = mentions.groupBy("url").agg(
         F.sort_array(

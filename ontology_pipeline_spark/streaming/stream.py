@@ -74,7 +74,12 @@ def deduped_page_stream(
     O(pages per horizon), not O(corpus); re-crawls of the SAME url with
     changed content pass through (different fingerprint), which is exactly
     the incremental-update behavior the KG pipeline wants upstream of
-    extraction."""
+    extraction.
+
+    Representative choice: the FIRST-ARRIVED row per fingerprint survives,
+    which is arrival-order (partition-order) dependent when duplicates land
+    in the same trigger — fine for dedup (any representative carries the
+    same content), but do not build logic on WHICH url survives."""
     from ..operators.text_analysis import fingerprint
 
     fp = pages_stream.withColumn("_fp", fingerprint(F.col("text")))

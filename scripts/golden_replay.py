@@ -214,16 +214,20 @@ def replay_dedup_clusters(docs, num_hashes=32, bands=8, shingle_n=2, seed=42, th
 
 
 def replay_hash_sample(doc_rows, rate=0.1):
-    """hash_sample replay: keep keys with pmod(xxhash64(key), p) < rate*p."""
+    """hash_sample replay: keep keys with
+    pmod(xxhash64(cast(key AS string)), p) < rate*p (the operator casts to
+    string for cross-type consistency)."""
     thr = int(rate * _MERSENNE)
-    return sorted((d, s) for d, s in doc_rows if xxh64_long(d) % _MERSENNE < thr)
+    return sorted(
+        (d, s) for d, s in doc_rows if xxh64(str(d).encode()) % _MERSENNE < thr
+    )
 
 
 def replay_stratified_sample(doc_rows, n=3):
     """stratified_hash_sample replay: n smallest (hash rank, key) per group."""
     groups: dict[str, list[tuple[int, int]]] = {}
     for d, src in doc_rows:
-        groups.setdefault(src, []).append((xxh64_long(d) % _MERSENNE, d))
+        groups.setdefault(src, []).append((xxh64(str(d).encode()) % _MERSENNE, d))
     out = []
     for src, ranked in groups.items():
         for _r, d in sorted(ranked)[:n]:

@@ -12,6 +12,8 @@ from ontology_pipeline_spark.synth import generate_corpus
 def spark():
     # warehouse in a temp dir: the bucketed-table tests use saveAsTable,
     # which would otherwise create ./spark-warehouse inside the repo
+    import shutil
+
     wh = tempfile.mkdtemp(prefix="spark-warehouse-")
     s = get_spark(
         master="local[4]",
@@ -21,6 +23,7 @@ def spark():
     )
     yield s
     s.stop()
+    shutil.rmtree(wh, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

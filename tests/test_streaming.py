@@ -135,9 +135,10 @@ def test_deduped_page_stream_drops_recrawls(spark, tmp_path):
     )
     q.awaitTermination()
     out = spark.sql("select url, text from dedup_stream").collect()
-    got = sorted((r["url"], r["text"]) for r in out)
-    assert got == [
-        ("https://a.test/p1", "alpha beta delta"),
-        ("https://a.test/p1", "alpha beta gamma"),
-        ("https://c.test/p2", "totally different"),
-    ]
+    # exactly one survivor per distinct content; WHICH duplicate survives is
+    # arrival-order dependent (documented), so assert content-level facts
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["alpha beta delta", "alpha beta gamma", "totally different"]
+    gamma_urls = {r["url"] for r in out if r["text"] == "alpha beta gamma"}
+    assert gamma_urls <= {"https://a.test/p1", "https://b.test/p9"}
+    assert {r["url"] for r in out if r["text"] == "alpha beta delta"} == {"https://a.test/p1"}
