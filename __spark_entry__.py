@@ -675,6 +675,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_doc_sample"] = stratified_doc_sample
 
+    def curated_documents(spark, sf):
+        """The full training-data curation chain (plans/curate.py):
+        language gate -> quality floor -> exact dedup -> transitive
+        near-dup drop.  End-to-end value check: the survivors (with their
+        quality scores) are replayed independently in pure Python
+        (golden VALUES oracle)."""
+        from ontology_pipeline_spark.plans.curate import curate_documents as curate
+
+        return curate(_t(spark, sf, "documents")).select("doc_id", "source", "quality")
+
+    q["curated_documents"] = curated_documents
+
     def ann_topk_q0(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qv = [

@@ -1,0 +1,73 @@
+"""Training-data curation chain — the composition a 100 TB corpus pipeline
+runs before anything else touches the data:
+
+    documents -> language gate -> quality floor -> exact dedup
+              -> transitive near-dup drop -> (optional) consistent sample
+
+Every stage is an existing engine operator (text_analysis, dedup, sampling)
+composed declaratively; the chain stays shuffle-lean: the gates are narrow
+filters fused into the scan, exact dedup is one shuffle on the fingerprint,
+the near-dup stage is the banded-LSH + connected-components path (never
+O(n^2)), and the sample is a narrow filter again.
+
+The full chain is value-checked end-to-end by the `curated_documents`
+driver query: the language/quality/exact-dedup stages re-derived in DuckDB
+SQL, the near-dup drop decisions replayed independently in pure Python
+(scripts/golden_replay.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup, minhash_dedup_clusters
+from ..operators.sampling import hash_sample
+from ..operators.text_analysis import lang_id, quality_score
+
+
+def curate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    dedup_threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    sample_rate: float | None = None,
+) -> DataFrame:
+    """Surviving rows plus `lang_pred` and `quality` columns.
+
+    Order matters and is part of the contract: gates first (cheap, narrow,
+    shrink the corpus before any shuffle), exact dedup before near-dup
+    (byte-dups would otherwise waste LSH work pairing with themselves),
+    near-dup keeps each cluster's min-id representative, and the optional
+    sample runs last so its rate applies to the CURATED population."""
+    d = (
+        docs.withColumn("lang_pred", lang_id(F.col(text_col)))
+        .filter(F.col("lang_pred") == lang)
+        .withColumn("quality", quality_score(F.col(text_col)))
+        .filter(F.col("quality") >= min_quality)
+    )
+    d = exact_dedup(d, text_col, id_col)
+    # pin: the survivor frame feeds BOTH the cluster computation and the
+    # final anti-join (multi-consumer rule)
+    d = d.localCheckpoint(eager=False)
+    clusters = minhash_dedup_clusters(
+        d,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=dedup_threshold,
+    )
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    d = d.join(drop, id_col, "left_anti")
+    if sample_rate is not None:
+        d = hash_sample(d, id_col, sample_rate)
+    return d

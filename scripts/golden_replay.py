@@ -235,6 +235,62 @@ def replay_stratified_sample(doc_rows, n=3):
     return sorted(out)
 
 
+# ------------------------------------------------------------- curation
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "avec", "pour", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "con", "para", "una", "que"],
+}
+_PUNCT = re.compile(r"[^\w\s]", re.ASCII)
+
+
+def replay_lang_id(text: str) -> str:
+    toks = set(tokens(text.lower()))
+    hits = {c: len(toks & set(ws)) for c, ws in sorted(_STOPWORDS.items())}
+    mx = max(hits.values())
+    if mx == 0:
+        return "und"
+    return min(c for c, h in hits.items() if h == mx)
+
+
+def replay_quality(text: str) -> float:
+    lt = min(len(text) / 500.0, 1.0)
+    toks = tokens(text.lower())
+    div = (len(set(toks)) / len(toks)) if toks else 0.0
+    noise = ((len(text) - len(_PUNCT.sub("", text))) / len(text)) if text else 0.0
+    return spark_round(max(0.0, min(1.0, 0.4 * lt + 0.5 * div - 0.5 * noise + 0.1)), 6)
+
+
+def replay_curation(doc_rows, lang="en", min_quality=0.5,
+                    num_hashes=32, bands=8, shingle_n=2, threshold=0.8):
+    """Replay of plans.curate.curate_documents (no sample step): returns
+    (survivor (doc_id, source, quality) rows, near-dup drop ids)."""
+    gated = [
+        (d, src, text)
+        for d, src, text in doc_rows
+        if replay_lang_id(text) == lang and replay_quality(text) >= min_quality
+    ]
+    # exact dedup: min id per whitespace-normalized lowered text
+    byfp: dict[str, int] = {}
+    for d, _src, text in gated:
+        fp = _WS.sub(" ", text.strip().lower())
+        if fp not in byfp or d < byfp[fp]:
+            byfp[fp] = d
+    keep_exact = set(byfp.values())
+    survivors = [(d, src, text) for d, src, text in gated if d in keep_exact]
+    clusters = replay_dedup_clusters(
+        [(d, t) for d, _s, t in survivors], num_hashes, bands, shingle_n, 42, threshold
+    )
+    drops = sorted(d for d, rep in clusters if d != rep)
+    out = [
+        (d, src, replay_quality(text))
+        for d, src, text in survivors
+        if d not in set(drops)
+    ]
+    return sorted(out), drops
+
+
 # -------------------------------------------------------------- simhash
 def replay_simhash_groups(docs, bits=32, prefix_bits=10):
     from collections import Counter
@@ -377,6 +433,11 @@ def main() -> None:
     ).fetchall()
     hsamp = replay_hash_sample(doc_src)
     ssamp = replay_stratified_sample(doc_src)
+    doc_full = con.execute(
+        f"SELECT doc_id, source, text FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    curated, cdrops = replay_curation(doc_full)
+    print(f"curated survivors: {len(curated)}, near-dup drops: {len(cdrops)}")
     print(
         f"minhash pairs: {len(mh)}, simhash groups: {len(sh)}, ann: {len(ann)}, "
         f"ivf: {len(ivf)}, cluster rows: {len(clusters)}"
@@ -390,6 +451,7 @@ def main() -> None:
         "dedup_clusters": _sql_values(clusters, "doc_id, cluster_id"),
         "doc_hash_sample": _sql_values(hsamp, "doc_id, source"),
         "stratified_doc_sample": _sql_values(ssamp, "source, doc_id"),
+        "curated_documents": _sql_values(curated, "doc_id, source, quality"),
     }
     with open(OUT, "w") as f:
         f.write(

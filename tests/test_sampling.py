@@ -63,3 +63,26 @@ def test_stratified_exact_n_per_group(spark):
         for r in stratified_hash_sample(docs.repartition(5), ["source"], 4, "doc_id").collect()
     )
     assert a == b
+
+
+def test_curation_chain_semantics(spark):
+    """plans/curate: every gate actually bites on the documents corpus and
+    the output respects the chain's contracts (lang gate, quality floor,
+    no exact dups, cluster representatives only, sample-last subset)."""
+    from ontology_pipeline_spark.plans.curate import curate_documents
+    from ontology_pipeline_spark.operators.text_analysis import fingerprint
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = curate_documents(docs).cache()
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out < n_in
+    assert out.filter(F.col("lang_pred") != "en").count() == 0
+    assert out.filter(F.col("quality") < 0.5).count() == 0
+    # no two survivors share a normalized-content fingerprint
+    fps = out.select(fingerprint(F.col("text")).alias("fp"))
+    assert fps.count() == fps.distinct().count()
+    # sample-last: the sampled chain is a subset of the unsampled chain
+    sampled = curate_documents(docs, sample_rate=0.5)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    sids = {r["doc_id"] for r in sampled.select("doc_id").collect()}
+    assert sids < ids
