@@ -97,3 +97,34 @@ def test_pairing_properties(mentions):
             ("assessment", "informs"),
             ("construct", "association"),
         }
+
+
+def test_replay_xxh64_matches_spark_on_random_inputs(spark):
+    """The golden-replay foundation: the pure-Python XXH64 (with Spark's
+    divergent PRIME64_2) must equal F.xxhash64 for arbitrary byte lengths
+    (covering the 32-byte stripes, 8/4/1-byte tails) and for longs."""
+    import random
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "scripts")
+    from golden_replay import xxh64, xxh64_long
+
+    rng = random.Random(99)
+    strings = [
+        "".join(chr(rng.randrange(32, 127)) for _ in range(n))
+        for n in list(range(0, 40)) + [63, 64, 65, 100, 255]
+    ]
+    sdf = spark.createDataFrame([(s,) for s in strings], ["s"]).select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    for r in sdf.collect():
+        assert xxh64(r["s"].encode("utf-8")) == r["h"], repr(r["s"])
+
+    longs = [0, 1, -1, 7, -7, 2**62, -(2**62), rng.getrandbits(63)]
+    ldf = spark.createDataFrame([(l,) for l in longs], "l long").select(
+        "l", F.xxhash64("l").alias("h")
+    )
+    for r in ldf.collect():
+        assert xxh64_long(r["l"]) == r["h"], r["l"]
