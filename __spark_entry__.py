@@ -27,7 +27,7 @@ from ontology_pipeline_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
-from ontology_pipeline_spark.operators.graph import ego_edges
+from ontology_pipeline_spark.operators.graph import ego_edges, pagerank
 from ontology_pipeline_spark.operators.mentions import detect_mentions
 from ontology_pipeline_spark.operators.relations import extract_triples_fused
 from ontology_pipeline_spark.operators.similarity import (
@@ -686,6 +686,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate(_t(spark, sf, "documents")).select("doc_id", "source", "quality")
 
     q["curated_documents"] = curated_documents
+
+    def entity_pagerank(spark, sf):
+        """Entity importance over the corpus co-occurrence graph: 10 rounds
+        of damped power iteration (graph.pagerank).  Golden replay oracle
+        (independent pure-Python iteration over the same edge set)."""
+        edges = (
+            _cooccurrence_triples(spark, sf)
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+        )
+        return pagerank(edges)
+
+    q["entity_pagerank"] = entity_pagerank
 
     def ann_topk_q0(spark, sf):
         emb = _t(spark, sf, "embeddings")

@@ -47,6 +47,69 @@ def filter_node_types(triples: DataFrame, keep: list[str]) -> DataFrame:
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    undirected: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank by power iteration over DataFrames —
+    entity-importance ranking for the KG (which canonicals anchor the
+    corpus), the iterative-compute sibling of `canonicalize`'s connected
+    components.
+
+    Per round: contribs = rank/degree shipped along edges (one shuffle on
+    dst), rank = (1-d)/N + d * sum(contribs); each round's frame is
+    localCheckpoint-ed so plans stay flat over n_iter rounds.  Dangling
+    nodes cannot occur under ``undirected=True`` (every node has degree
+    >= 1 by construction); with ``undirected=False`` their rank mass decays
+    per the standard simplified formulation.
+
+    Returns (node, rank) with rank rounded to 6 digits (cross-engine float
+    convention; per-round double sums differ across partition orders only
+    at ~1e-15, far inside the round).
+    """
+    pair = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    if undirected:
+        pair = pair.union(pair.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    pair = pair.distinct().localCheckpoint(eager=True)
+
+    nodes_df = (
+        pair.select(F.col("a").alias("node"))
+        .union(pair.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = pair.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("_deg"))
+    base = nodes_df.join(deg, "node", "left").localCheckpoint(eager=True)
+    n = base.count()
+    ranks = base.select("node", "_deg", F.lit(1.0 / n).alias("rank"))
+
+    for _ in range(n_iter):
+        contribs = (
+            pair.join(ranks.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .select(
+                "node",
+                "_deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def ego_edges(triples: DataFrame, node: str, hops: int = 1) -> DataFrame:
     """k-hop ego subgraph edges (reference 1-hop isolation,
     streamlit_app.py:771-777) via iterated self-joins."""

@@ -291,6 +291,37 @@ def replay_curation(doc_rows, lang="en", min_quality=0.5,
     return sorted(out), drops
 
 
+_DEMO_TERMS = {
+    "operator": ["join", "filter", "scan", "sort", "merge", "window", "agg", "hash", "group"],
+    "noun": ["table", "row", "column", "stream", "batch", "query", "data", "spark", "vector", "key"],
+}
+
+
+def replay_entity_pagerank(docs, damping=0.85, n_iter=10):
+    """Replay of the entity_pagerank query: doc-level co-occurrence edges
+    over the demo lexicon (exact-token membership), symmetrized, 10 damped
+    power-iteration rounds from uniform init, round 6."""
+    terms = [t for ts in _DEMO_TERMS.values() for t in ts]
+    pairs = set()
+    for _doc_id, text in docs:
+        toks = set(tokens(text.lower()))
+        present = sorted(t for t in terms if t in toks)
+        for i in range(len(present)):
+            for j in range(i + 1, len(present)):
+                pairs.add((present[i], present[j]))
+    sym = pairs | {(b, a) for a, b in pairs}
+    nodes = sorted({a for a, _b in sym})
+    deg = {a: sum(1 for x, _y in sym if x == a) for a in nodes}
+    n = len(nodes)
+    rank = {a: 1.0 / n for a in nodes}
+    for _ in range(n_iter):
+        contrib = {a: 0.0 for a in nodes}
+        for a, b in sorted(sym):
+            contrib[b] += rank[a] / deg[a]
+        rank = {a: (1.0 - damping) / n + damping * contrib[a] for a in nodes}
+    return sorted((a, spark_round(r, 6)) for a, r in rank.items())
+
+
 # -------------------------------------------------------------- simhash
 def replay_simhash_groups(docs, bits=32, prefix_bits=10):
     from collections import Counter
@@ -438,6 +469,7 @@ def main() -> None:
     ).fetchall()
     curated, cdrops = replay_curation(doc_full)
     print(f"curated survivors: {len(curated)}, near-dup drops: {len(cdrops)}")
+    pr = replay_entity_pagerank(docs)
     print(
         f"minhash pairs: {len(mh)}, simhash groups: {len(sh)}, ann: {len(ann)}, "
         f"ivf: {len(ivf)}, cluster rows: {len(clusters)}"
@@ -452,6 +484,7 @@ def main() -> None:
         "doc_hash_sample": _sql_values(hsamp, "doc_id, source"),
         "stratified_doc_sample": _sql_values(ssamp, "source, doc_id"),
         "curated_documents": _sql_values(curated, "doc_id, source, quality"),
+        "entity_pagerank": _sql_values(pr, "node, rank"),
     }
     with open(OUT, "w") as f:
         f.write(

@@ -61,3 +61,25 @@ def test_ego_two_hops_reaches_more(spark):
     one = ego_edges(_t(spark), "Y", hops=1).count()
     # Y's only neighbor is X; 2 hops adds nothing new in this component
     assert one == ego_edges(_t(spark), "Y", hops=2).count() == 1
+
+
+def test_pagerank_invariants(spark):
+    """Power-iteration PageRank: mass conservation (undirected, no dangling
+    nodes -> ranks sum to 1), hub dominance on a star, and partition-layout
+    determinism within the rounding convention."""
+    from pyspark.sql import functions as F
+
+    from ontology_pipeline_spark.operators.graph import pagerank
+
+    star = [("hub", f"leaf{i}") for i in range(8)] + [("leaf0", "leaf1")]
+    edges = spark.createDataFrame(star, ["src", "dst"])
+    pr = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-4
+    assert pr["hub"] == max(pr.values())
+    assert pr["leaf0"] > pr["leaf7"]  # extra edge -> extra rank
+
+    pr2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(spark.createDataFrame(star, ["src", "dst"]).repartition(5)).collect()
+    }
+    assert pr == pr2
