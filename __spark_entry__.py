@@ -688,12 +688,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curated_documents"] = curated_documents
 
     def entity_pagerank(spark, sf):
-        """Entity importance over the corpus co-occurrence graph: 10 rounds
-        of damped power iteration (graph.pagerank).  Golden replay oracle
-        (independent pure-Python iteration over the same edge set)."""
+        """Entity importance over the SYNTHETIC KG's triple graph: 10 rounds
+        of damped power iteration (graph.pagerank).  The graph is
+        NON-regular (head-entity skew), so the golden replay oracle — an
+        independent pure-Python iteration over the corpus's by-construction
+        golden edge set — has real power: a broken degree/damping/iteration
+        would diverge from it (the demo-lexicon co-occurrence graph at
+        sf0.01 is complete and therefore uniform == vacuous)."""
+        from ontology_pipeline_spark.synth import generate_corpus, pages_df
+
+        corpus = generate_corpus(n_pages=200, seed=13)
+        tri = extract_triples_fused(pages_df(spark, corpus), lexicon_rows())
         edges = (
-            _cooccurrence_triples(spark, sf)
-            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            tri.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
             .distinct()
         )
         return pagerank(edges)

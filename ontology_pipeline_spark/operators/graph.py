@@ -67,12 +67,21 @@ def pagerank(
     >= 1 by construction); with ``undirected=False`` their rank mass decays
     per the standard simplified formulation.
 
-    Returns (node, rank) with rank rounded to 6 digits (cross-engine float
-    convention; per-round double sums differ across partition orders only
-    at ~1e-15, far inside the round).
+    Returns (node, rank) with rank rounded to 6 digits.  Float caveat for
+    oracle use: the per-round contribution SUM is a cross-row double sum
+    (partition-order dependent at ~1e-15); the round(6) + the contract
+    checker's 1e-9 tolerance absorb that except for values within ~1e-15 of
+    a rounding boundary — vanishingly unlikely on a fixed fixture, but this
+    operator deliberately deviates from the "no cross-row double sums in
+    oracle queries" rule because power iteration IS a sum.
     """
-    pair = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a").isNotNull() & F.col("b").isNotNull()
+    pair = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        # pin BEFORE the symmetrizing union: both union branches consume this
+        # frame, and an un-pinned computed edge plan would execute twice
+        # (multi-consumer rule)
+        .localCheckpoint(eager=False)
     )
     if undirected:
         pair = pair.union(pair.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -86,6 +95,10 @@ def pagerank(
     deg = pair.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("_deg"))
     base = nodes_df.join(deg, "node", "left").localCheckpoint(eager=True)
     n = base.count()
+    if n == 0:
+        # legal degenerate input (no co-occurrences found): empty result,
+        # not a driver-side ZeroDivisionError
+        return base.select("node", F.lit(0.0).alias("rank"))
     ranks = base.select("node", "_deg", F.lit(1.0 / n).alias("rank"))
 
     for _ in range(n_iter):

@@ -274,7 +274,9 @@ def replay_curation(doc_rows, lang="en", min_quality=0.5,
     # exact dedup: min id per whitespace-normalized lowered text
     byfp: dict[str, int] = {}
     for d, _src, text in gated:
-        fp = _WS.sub(" ", text.strip().lower())
+        # strip(" ") not strip(): Spark's F.trim removes only ASCII spaces,
+        # and the \s+ collapse runs AFTER the trim in fingerprint()
+        fp = _WS.sub(" ", text.strip(" ").lower())
         if fp not in byfp or d < byfp[fp]:
             byfp[fp] = d
     keep_exact = set(byfp.values())
@@ -291,24 +293,12 @@ def replay_curation(doc_rows, lang="en", min_quality=0.5,
     return sorted(out), drops
 
 
-_DEMO_TERMS = {
-    "operator": ["join", "filter", "scan", "sort", "merge", "window", "agg", "hash", "group"],
-    "noun": ["table", "row", "column", "stream", "batch", "query", "data", "spark", "vector", "key"],
-}
-
-
-def replay_entity_pagerank(docs, damping=0.85, n_iter=10):
-    """Replay of the entity_pagerank query: doc-level co-occurrence edges
-    over the demo lexicon (exact-token membership), symmetrized, 10 damped
-    power-iteration rounds from uniform init, round 6."""
-    terms = [t for ts in _DEMO_TERMS.values() for t in ts]
-    pairs = set()
-    for _doc_id, text in docs:
-        toks = set(tokens(text.lower()))
-        present = sorted(t for t in terms if t in toks)
-        for i in range(len(present)):
-            for j in range(i + 1, len(present)):
-                pairs.add((present[i], present[j]))
+def replay_entity_pagerank(golden_edges, damping=0.85, n_iter=10):
+    """Replay of the entity_pagerank query over the synthetic corpus's
+    BY-CONSTRUCTION golden (subj, obj) edge set — independent of the
+    engine's extraction; symmetrized, 10 damped power-iteration rounds from
+    uniform init, round 6."""
+    pairs = set(golden_edges)
     sym = pairs | {(b, a) for a, b in pairs}
     nodes = sorted({a for a, _b in sym})
     deg = {a: sum(1 for x, _y in sym if x == a) for a in nodes}
@@ -469,7 +459,12 @@ def main() -> None:
     ).fetchall()
     curated, cdrops = replay_curation(doc_full)
     print(f"curated survivors: {len(curated)}, near-dup drops: {len(cdrops)}")
-    pr = replay_entity_pagerank(docs)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from ontology_pipeline_spark.synth import generate_corpus
+
+    _c13 = generate_corpus(n_pages=200, seed=13)
+    golden_edges = sorted({(s_, o_) for s_, _p, o_, _u in _c13.expected_triples})
+    pr = replay_entity_pagerank(golden_edges)
     print(
         f"minhash pairs: {len(mh)}, simhash groups: {len(sh)}, ann: {len(ann)}, "
         f"ivf: {len(ivf)}, cluster rows: {len(clusters)}"

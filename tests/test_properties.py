@@ -103,13 +103,18 @@ def test_replay_xxh64_matches_spark_on_random_inputs(spark):
     """The golden-replay foundation: the pure-Python XXH64 (with Spark's
     divergent PRIME64_2) must equal F.xxhash64 for arbitrary byte lengths
     (covering the 32-byte stripes, 8/4/1-byte tails) and for longs."""
+    import os
     import random
     import sys
 
     from pyspark.sql import functions as F
 
-    sys.path.insert(0, "scripts")
-    from golden_replay import xxh64, xxh64_long
+    scripts_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        from golden_replay import xxh64, xxh64_long
+    finally:
+        sys.path.remove(scripts_dir)
 
     rng = random.Random(99)
     strings = [

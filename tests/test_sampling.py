@@ -66,14 +66,25 @@ def test_stratified_exact_n_per_group(spark):
 
 
 def test_curation_chain_semantics(spark):
-    """plans/curate: every gate actually bites on the documents corpus and
-    the output respects the chain's contracts (lang gate, quality floor,
-    no exact dups, cluster representatives only, sample-last subset)."""
+    """plans/curate contracts: lang gate, quality floor, exact-dup collapse,
+    cluster representatives only, sample-last subset.  The raw corpus has
+    no exact duplicates, so byte-dups of two real docs are INJECTED to make
+    the exact-dedup stage bite (lang/quality/near-dup bite natively)."""
     from ontology_pipeline_spark.plans.curate import curate_documents
     from ontology_pipeline_spark.operators.text_analysis import fingerprint
 
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    raw = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    dups = (
+        raw.orderBy("doc_id").limit(2)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    docs = raw.unionByName(dups.select(*raw.columns))
     out = curate_documents(docs).cache()
+    # injected byte-dups never survive (original doc_id is smaller)
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
     n_in, n_out = docs.count(), out.count()
     assert 0 < n_out < n_in
     assert out.filter(F.col("lang_pred") != "en").count() == 0
