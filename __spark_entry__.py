@@ -937,15 +937,17 @@ _LEX_VALUES = ", ".join(
     f"('{alias}', '{cls}')" for cls, _canon, alias, _p, _u in DEMO_LEXICON
 )
 
-# Mention counting over the documents corpus reduces to exact-token equality
-# (the corpus is space-separated lowercase words), which both engines express
-# identically — RE2 in DuckDB lacks the lookaround word boundaries the Spark
-# scanner uses, so the oracle counts tokens instead.
+# Mention counting over the documents corpus reduces to exact-token equality,
+# which both engines express identically — RE2 in DuckDB lacks the lookaround
+# word boundaries the Spark scanner uses, so the oracle counts tokens instead.
+# Tokens split on NON-ALPHANUMERIC runs (not just whitespace): the Spark
+# matcher anchors terms with (?<![A-Za-z0-9])...(?![A-Za-z0-9]), so a term
+# adjacent to punctuation counts as mentioned — the tokenizers must agree.
 _HITS_CTE = rf"""
 lex(term, entity_class) AS (VALUES {_LEX_VALUES}),
 tokall AS (
     SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tok
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tok
     FROM documents
 ),
 hits AS (
@@ -1297,8 +1299,10 @@ def oracle_sql() -> dict[str, str]:
     o["ontology_coverage"] = f"""
         WITH lex(term, entity_class) AS (VALUES {_COV_VALUES}),
         tokall AS (
+            -- non-alphanumeric split: shares mention semantics with the
+            -- boundary-anchored Spark matcher (punctuation-adjacent terms count)
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tok
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS tok
             FROM documents
         ),
         mentioned AS (

@@ -29,7 +29,12 @@ _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+|\n")
 # not hash(lexicon_rows): a 64-bit hash collision between two different
 # lexicons would silently return the wrong compiled matcher (wrong mentions,
 # no error).  Dict lookup on the tuple compares full contents on collision.
+# BOUNDED (LRU, insertion-ordered dict): long-lived executors see many
+# distinct lexicons (e.g. the per-run augmented lexicons the fuzzy
+# canonicalization loop builds) — an unbounded cache pins every lexicon
+# tuple + compiled regex for the process lifetime.
 _MATCHER_CACHE: dict[tuple, tuple] = {}
+_MATCHER_CACHE_MAX = 4
 
 
 def _compile(lexicon_rows: tuple) -> tuple:
@@ -37,6 +42,7 @@ def _compile(lexicon_rows: tuple) -> tuple:
     key = lexicon_rows
     hit = _MATCHER_CACHE.get(key)
     if hit is not None:
+        _MATCHER_CACHE[key] = _MATCHER_CACHE.pop(key)  # mark most-recent
         return hit
     lookup: dict[str, list[tuple[str, str]]] = {}
     for entity_class, canonical, alias, _parent, _unit in lexicon_rows:
@@ -46,14 +52,15 @@ def _compile(lexicon_rows: tuple) -> tuple:
         # empty lexicon: no mentions (an empty alternation "()" would match
         # the empty string at every position and KeyError in the lookup)
         compiled = (None, lookup)
-        _MATCHER_CACHE[key] = compiled
-        return compiled
-    pattern = re.compile(
-        "(?<![A-Za-z0-9])(" + "|".join(re.escape(s) for s in surfaces) + ")(?![A-Za-z0-9])",
-        re.IGNORECASE,
-    )
-    compiled = (pattern, lookup)
+    else:
+        pattern = re.compile(
+            "(?<![A-Za-z0-9])(" + "|".join(re.escape(s) for s in surfaces) + ")(?![A-Za-z0-9])",
+            re.IGNORECASE,
+        )
+        compiled = (pattern, lookup)
     _MATCHER_CACHE[key] = compiled
+    while len(_MATCHER_CACHE) > _MATCHER_CACHE_MAX:
+        _MATCHER_CACHE.pop(next(iter(_MATCHER_CACHE)))  # evict least-recent
     return compiled
 
 

@@ -40,9 +40,9 @@ OUT = os.path.join(
 # Spark's `xxhash64` = XXH64(utf8 bytes, seed=42) returned as SIGNED int64.
 
 _P1 = 0x9E3779B185EBCA87
-# Spark's XXH64.java ships a DIVERGENT PRIME64_2 (0xC2B2AE3D27D4EB4F instead
-# of the official 0xC2B2AE3D4F879F49) — verified against the spark-catalyst
-# 4.1.2 bytecode and runtime.  We must match Spark, not the xxHash spec.
+# Spark's xxhash64 is spec-standard XXH64 with seed=42 over the UTF-8 bytes
+# (strings) or the little-endian 8-byte value (longs); these are the official
+# xxHash PRIME64 constants (PRIME64_2 = 0xC2B2AE3D27D4EB4F = 14029467366897019727).
 _P2 = 0xC2B2AE3D27D4EB4F
 _P3 = 0x165667B19E3779F9
 _P4 = 0x85EBCA77C2B2AE63
@@ -120,6 +120,54 @@ def xxh64_long(l: int, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+# ---------------------------------------------------------------- Murmur3
+# Spark's F.hash = Murmur3 x86 32-bit, seed 42.  For array<long> it folds
+# elements left-to-right: h = hashLong(elem, h), each application a full
+# mix+fmix(8).  Verified bit-identical vs F.hash(array<long>) in
+# tests/test_properties.py — the LSH band bucket (dedup.band_structs) hashes
+# the signature slice with this, so the replay's candidate generation is
+# exactly Spark's, Murmur3 collisions included.
+_M32 = (1 << 32) - 1
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mm3_mixk1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    return (_rotl32(k1, 15) * 0x1B873593) & _M32
+
+
+def _mm3_mixh1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    return (_rotl32(h1, 13) * 5 + 0xE6546B64) & _M32
+
+
+def _mm3_fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    return h1 ^ (h1 >> 16)
+
+
+def _mm3_long(l: int, seed: int) -> int:
+    l &= (1 << 64) - 1
+    h1 = _mm3_mixh1(seed & _M32, _mm3_mixk1(l & _M32))
+    h1 = _mm3_mixh1(h1, _mm3_mixk1((l >> 32) & _M32))
+    return _mm3_fmix(h1, 8)
+
+
+def murmur3_long_array(arr, seed: int = 42) -> int:
+    """Spark F.hash over array<long> as a SIGNED 32-bit value."""
+    h = seed & _M32
+    for v in arr:
+        h = _mm3_long(v, h)
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
 # ------------------------------------------------------------ text utils
 # Java \s (used by F.split) is the ASCII whitespace class; documents at
 # sf0.01 are verified ASCII so str.lower() == F.lower here.
@@ -174,11 +222,13 @@ def replay_minhash_near_dups(docs, num_hashes=32, bands=4, shingle_n=2, seed=42,
         s = minhash_signature(text, num_hashes, shingle_n, coeffs)
         if s is not None:
             sigs[doc_id] = s
-    # banded LSH candidates: pairs sharing an identical band slice
+    # banded LSH candidates keyed by Spark's Murmur3 of the band slice —
+    # bit-identical to dedup.band_structs' F.hash(F.slice(sig, ...)), so the
+    # candidate set matches Spark's exactly (Murmur3 collisions included)
     buckets: dict[tuple, list] = {}
     for doc_id, sig in sigs.items():
         for b in range(bands):
-            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            key = (b, murmur3_long_array(sig[b * rows_per_band : (b + 1) * rows_per_band]))
             buckets.setdefault(key, []).append(doc_id)
     cand = set()
     for ids in buckets.values():

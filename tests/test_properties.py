@@ -100,9 +100,9 @@ def test_pairing_properties(mentions):
 
 
 def test_replay_xxh64_matches_spark_on_random_inputs(spark):
-    """The golden-replay foundation: the pure-Python XXH64 (with Spark's
-    divergent PRIME64_2) must equal F.xxhash64 for arbitrary byte lengths
-    (covering the 32-byte stripes, 8/4/1-byte tails) and for longs."""
+    """The golden-replay foundation: the pure-Python XXH64 (spec-standard,
+    seed=42 — Spark's semantics) must equal F.xxhash64 for arbitrary byte
+    lengths (covering the 32-byte stripes, 8/4/1-byte tails) and for longs."""
     import os
     import random
     import sys
@@ -133,3 +133,33 @@ def test_replay_xxh64_matches_spark_on_random_inputs(spark):
     )
     for r in ldf.collect():
         assert xxh64_long(r["l"]) == r["h"], r["l"]
+
+
+def test_replay_murmur3_long_array_matches_spark(spark):
+    """The LSH band-bucket replay: pure-Python Murmur3 over array<long>
+    (element-folded hashLong, seed 42) must equal F.hash — the band bucket is
+    F.hash(slice(signature)), so replayed candidate generation is bit-exact,
+    Murmur3 collisions included (ADVICE r2)."""
+    import os
+    import random
+    import sys
+
+    from pyspark.sql import functions as F
+
+    scripts_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        from golden_replay import murmur3_long_array
+    finally:
+        sys.path.remove(scripts_dir)
+
+    rng = random.Random(7)
+    arrays = [
+        [rng.randrange(0, (1 << 31) - 1) for _ in range(n)] for n in (1, 2, 4, 8, 13)
+    ] + [[-(1 << 63), (1 << 63) - 1, 0, 1, -1], []]
+    sdf = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i int, a array<long>"
+    ).select("i", F.hash("a").alias("h"))
+    got = {r["i"]: r["h"] for r in sdf.collect()}
+    for i, a in enumerate(arrays):
+        assert murmur3_long_array(a) == got[i], a
