@@ -280,6 +280,149 @@ def write_corpus(
     return corpus
 
 
+# ---------------------------------------------------------------------------
+# Multimodal: deterministic synthetic PNG corpus — pixels known by
+# construction, so the golden replay can compute expected decode/resize
+# stats WITHOUT running the decoder (the Spark path must then survive
+# encode -> decode -> resize losslessly to match).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_COLOR_TYPE_BY_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_encode(
+    w: int, h: int, channels: int, pix: bytes, filters: list[int] | None = None
+) -> bytes:
+    """Pure-stdlib PNG writer (8-bit gray/gray-alpha/RGB/RGBA, non-interlaced).
+    `filters` cycles per-scanline filter types (0-4), exercising every
+    unfilter path in the decoder; default all-0.  Independent of the
+    operator-side decoder (separate Paeth/filter code on purpose)."""
+    import zlib as _zlib
+
+    color_type = _COLOR_TYPE_BY_CHANNELS[channels]
+    stride = w * channels
+    assert len(pix) == h * stride
+    lines = []
+    prev = bytes(stride)
+    for y in range(h):
+        line = pix[y * stride : (y + 1) * stride]
+        ft = filters[y % len(filters)] if filters else 0
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = bytes(
+                (line[x] - (line[x - channels] if x >= channels else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 2:
+            enc = bytes((line[x] - prev[x]) & 0xFF for x in range(stride))
+        elif ft == 3:
+            enc = bytes(
+                (line[x] - (((line[x - channels] if x >= channels else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 4:
+            enc = bytes(
+                (
+                    line[x]
+                    - _paeth(
+                        line[x - channels] if x >= channels else 0,
+                        prev[x],
+                        prev[x - channels] if x >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        else:
+            raise ValueError(f"bad filter {ft}")
+        lines.append(bytes([ft]) + enc)
+        prev = line
+    raw = _zlib.compress(b"".join(lines), 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + _zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    import struct as _struct
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+
+
+MEDIA_LABELS = ["gradient", "checker", "noise"]
+
+
+@dataclass
+class MediaCorpus:
+    # (media_id, kind, payload, mime, width, height, duration_ms, label)
+    rows: list[tuple]
+    # media_id -> (width, height, channels, raw samples) for image rows
+    pixels: dict[str, tuple[int, int, int, bytes]] = field(default_factory=dict)
+
+
+def generate_media_corpus(n_images: int = 48, seed: int = 11) -> MediaCorpus:
+    """Seeded media table: PNGs of varied size (5-24 px, deliberately NOT
+    multiples of the thumbnail dims so resize bins are uneven), channel
+    layout cycling gray/RGB/RGBA/gray-alpha, per-row filter types cycling
+    0-4, three content labels — plus negative rows (garbage 'image' bytes,
+    audio, video, NULL payload) so the decode path's never-raise contract is
+    exercised in every query run."""
+    rng = random.Random(seed)
+    rows: list[tuple] = []
+    pixels: dict[str, tuple[int, int, int, bytes]] = {}
+    for i in range(n_images):
+        label = MEDIA_LABELS[i % len(MEDIA_LABELS)]
+        ch = [1, 3, 4, 2][i % 4]
+        w, h = rng.randint(5, 24), rng.randint(5, 24)
+        pix = bytearray()
+        for y in range(h):
+            for x in range(w):
+                for c in range(ch):
+                    if label == "gradient":
+                        v = (x * 255 // max(w - 1, 1) + 37 * c + 3 * y) % 256
+                    elif label == "checker":
+                        v = 255 if (x // 2 + y // 2 + c) % 2 == 0 else 13
+                    else:
+                        v = rng.randrange(256)
+                    pix.append(v)
+        mid = f"img{i:03d}"
+        payload = png_encode(w, h, ch, bytes(pix), filters=[(i + k) % 5 for k in range(5)])
+        rows.append((mid, "image", payload, "image/png", w, h, None, label))
+        pixels[mid] = (w, h, ch, bytes(pix))
+    rows.append(("bad000", "image", b"not a png at all", "image/png", None, None, None, "garbage"))
+    rows.append(("bad001", "image", _PNG_SIG + b"\x00\x00truncated", "image/png", None, None, None, "garbage"))
+    rows.append(("aud000", "audio", b"RIFF fake wave bytes", "audio/wav", None, None, 2500, "audio"))
+    rows.append(("vid000", "video", b"\x00\x00ftyp fake", "video/mp4", 640, 480, 3500, "video"))
+    rows.append(("nul000", "image", None, "image/png", None, None, None, "null"))
+    return MediaCorpus(rows=rows, pixels=pixels)
+
+
+def media_df(spark, corpus: MediaCorpus):
+    return spark.createDataFrame(
+        corpus.rows,
+        schema=(
+            "media_id string, kind string, payload binary, mime string, "
+            "width long, height long, duration_ms long, label string"
+        ),
+    )
+
+
 # Bump when generation changes (templates, vocabulary, skew profile): the
 # bench corpus cache key includes it, so stale cached corpora are never
 # silently reused across generator versions.

@@ -468,6 +468,44 @@ def replay_ivf_topk(vecs, query_vec, k=10, n_centroids=16, n_probe=4):
     return scored[:k]
 
 
+# ----------------------------------------------------------- multimodal
+def replay_multimodal_stats(out_w=4, out_h=4):
+    """Replay of the multimodal_image_stats query from the GENERATION-side
+    pixel arrays (synth.MediaCorpus.pixels — known by construction, the
+    decoder never runs here).  The block-average is re-implemented
+    independently of operators.multimodal.resize_pixels; all sums are exact
+    integers, so round() is bit-identical across implementations."""
+    from ontology_pipeline_spark.synth import generate_media_corpus
+
+    c = generate_media_corpus(n_images=48, seed=11)
+    label_by_id = {r[0]: r[7] for r in c.rows}
+    out = []
+    for mid in sorted(c.pixels):
+        w, h, ch, pix = c.pixels[mid]
+        mean_all = round(sum(pix) / (w * h * ch), 6)
+        mean_c0 = round(sum(pix[0::ch]) / (w * h), 6)
+        rsum = 0
+        for o in range(out_h):
+            y0 = o * h // out_h
+            y1 = max((o + 1) * h // out_h, y0 + 1)
+            for p in range(out_w):
+                x0 = p * w // out_w
+                x1 = max((p + 1) * w // out_w, x0 + 1)
+                cnt = (y1 - y0) * (x1 - x0)
+                for cc in range(ch):
+                    s = sum(
+                        pix[(y * w + x) * ch + cc]
+                        for y in range(y0, y1)
+                        for x in range(x0, x1)
+                    )
+                    rsum += s // cnt
+        resized_mean = round(rsum / (out_w * out_h * ch), 6)
+        out.append(
+            (mid, label_by_id[mid], "png", w, h, ch, mean_all, mean_c0, resized_mean)
+        )
+    return out
+
+
 # ---------------------------------------------------------------- emit
 def _sql_values(rows, decls: str) -> str:
     body = ", ".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
@@ -520,7 +558,14 @@ def main() -> None:
         f"ivf: {len(ivf)}, cluster rows: {len(clusters)}"
     )
 
+    mm = replay_multimodal_stats()
+    print(f"multimodal stat rows: {len(mm)}")
+
     gen = {
+        "multimodal_image_stats": _sql_values(
+            mm,
+            "media_id, label, format, width, height, channels, mean_all, mean_c0, resized_mean",
+        ),
         "minhash_near_dups": _sql_values(mh, "id_a, id_b, est_jaccard"),
         "simhash_bucket_groups": _sql_values(sh, "bucket, n_docs"),
         "ann_topk_q0": _sql_values(ann, "vec_id, cosine"),

@@ -1,4 +1,5 @@
-"""Multimodal plumbing: schema-true binary handling with stubbed decode."""
+"""Multimodal: schema-true binary handling with a REAL pure-stdlib PNG
+pixel path (decode / resize / stats) and documented non-PNG codec seams."""
 
 from __future__ import annotations
 
@@ -8,10 +9,14 @@ import pytest
 
 from ontology_pipeline_spark.operators.multimodal import (
     extract_media_features,
+    image_channel_stats,
+    png_decode,
     resize_images,
+    resize_pixels,
     sample_video_frames,
 )
 from ontology_pipeline_spark.schemas import MEDIA
+from ontology_pipeline_spark.synth import generate_media_corpus, media_df, png_encode
 
 
 def _media(spark):
@@ -36,15 +41,88 @@ def test_feature_extraction_stub_deterministic(spark):
     assert again["m2"] == out["m2"]["feature"]
 
 
-def test_real_decode_is_explicit_stub(spark):
+def test_png_decode_roundtrips_every_filter_and_layout():
+    """Decoder vs independent encoder: all five scanline filters x all four
+    channel layouts roundtrip to the exact source samples."""
+    c = generate_media_corpus(n_images=48, seed=11)
+    layouts = set()
+    for mid, (w, h, ch, pix) in c.pixels.items():
+        payload = dict((r[0], r[2]) for r in c.rows)[mid]
+        assert png_decode(payload) == (w, h, ch, pix), mid
+        layouts.add(ch)
+    assert layouts == {1, 2, 3, 4}
+    # single-filter encodes (the corpus cycles filters within one image)
+    pix = bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(9) for x in range(7) for c in range(3))
+    for ft in range(5):
+        assert png_decode(png_encode(7, 9, 3, pix, filters=[ft])) == (7, 9, 3, pix), ft
+
+
+def test_png_decode_rejects_garbage_without_raising():
+    assert png_decode(b"not a png") is None
+    assert png_decode(b"\x89PNG\r\n\x1a\n\x00\x00trunc") is None
+    # 16-bit depth unsupported -> None, not an exception
+    good = png_encode(4, 4, 1, bytes(range(16)))
+    tampered = bytearray(good)
+    tampered[24] = 16  # bit depth byte inside IHDR
+    assert png_decode(bytes(tampered)) is None
+
+
+def test_resize_pixels_block_average_semantics():
+    # 3x3 -> 2x2: uneven bins, integer floor averages (the golden-replay spec)
+    pix = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    assert list(resize_pixels(pix, 3, 3, 1, 2, 2)) == [10, 25, 55, 70]
+    # upscale replicates
+    assert list(resize_pixels(bytes([1, 2, 3, 4]), 2, 2, 1, 3, 3)) == [1, 1, 2, 1, 1, 2, 3, 3, 4]
+
+
+def test_resize_images_real_and_null_safe(spark):
+    """resize_images now REALLY resizes PNGs; non-PNG payloads yield NULL
+    pixel rows instead of killing the scan."""
+    corpus = generate_media_corpus(n_images=6, seed=11)
+    out = {
+        r["media_id"]: r
+        for r in resize_images(media_df(spark, corpus), 4, 4).collect()
+    }
+    for mid, (w, h, ch, pix) in corpus.pixels.items():
+        got = out[mid]
+        assert (got["width"], got["height"], got["channels"]) == (4, 4, ch)
+        assert bytes(got["pixels"]) == resize_pixels(pix, w, h, ch, 4, 4)
+    for bad in ("bad000", "bad001", "aud000", "vid000", "nul000"):
+        assert out[bad]["pixels"] is None and out[bad]["width"] is None
+
+
+def test_real_features_for_png_stub_seam_for_other_formats(spark):
+    """stub=False computes real pixel features for decodable PNGs and raises
+    at the documented codec seam for other formats."""
+    corpus = generate_media_corpus(n_images=4, seed=11)
+    png_only = media_df(spark, corpus).filter("label <> 'garbage' AND kind = 'image' AND payload IS NOT NULL")
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in extract_media_features(png_only, stub=False).collect()
+    }
+    for mid, (w, h, ch, pix) in corpus.pixels.items():
+        f = feats[mid]
+        assert f[:3] == [float(w), float(h), float(ch)]
+        assert f[3] == round(sum(pix) / (w * h * ch), 6)
     with pytest.raises(Exception) as ei:
         extract_media_features(_media(spark), stub=False).collect()
     assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
 
 
-def test_resize_seam_raises_cleanly(spark):
-    with pytest.raises(Exception):
-        resize_images(_media(spark), 32, 32).collect()
+def test_image_channel_stats_matches_generation_pixels(spark):
+    corpus = generate_media_corpus(n_images=8, seed=11)
+    out = {
+        r["media_id"]: r
+        for r in image_channel_stats(media_df(spark, corpus), resize_to=(4, 4)).collect()
+    }
+    for mid, (w, h, ch, pix) in corpus.pixels.items():
+        r = out[mid]
+        assert (r["format"], r["width"], r["height"], r["channels"]) == ("png", w, h, ch)
+        assert r["mean_all"] == round(sum(pix) / (w * h * ch), 6)
+        assert r["mean_c0"] == round(sum(pix[0::ch]) / (w * h), 6)
+        rp = resize_pixels(pix, w, h, ch, 4, 4)
+        assert r["resized_mean"] == round(sum(rp) / (16 * ch), 6)
+    assert out["bad000"]["format"] is None and out["nul000"]["format"] is None
 
 
 def test_video_frame_sampling(spark):
