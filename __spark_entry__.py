@@ -881,6 +881,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("first_metric_source"),
             F.size(F.flatten("technologies.used_for_assessments")).alias("n_tech_links"),
+            # round-3 fidelity probes (VERDICT r2 #4): per-intervention
+            # constructs_targeted totals, modality value, typed-intervention
+            # count — all re-derived independently by the oracle
+            F.size(F.flatten("interventions.constructs_targeted")).alias("n_targeted_constructs"),
+            F.array_min(
+                F.filter(
+                    F.transform("assessments", lambda a: a["modality"]),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("first_modality"),
+            F.size(
+                F.filter("interventions", lambda i: i["intervention_types"].isNotNull())
+            ).alias("n_typed_interventions"),
         ).orderBy("url")
 
     q["extraction_docs_synthetic"] = extraction_docs_synthetic
@@ -1573,13 +1586,21 @@ def oracle_sql() -> dict[str, str]:
     _tl_rows = ", ".join(
         f"('{_q(u)}', '{_q(t)}', '{_q(a)}')" for u, t, a in _c13.expected_tech_links
     )
+    from ontology_pipeline_spark.lexicon import ASSESSMENT_MODALITY, INTERVENTION_TYPES
+
+    _am_rows = ", ".join(
+        f"('{_q(a)}', '{_q(mo)}')" for a, mo in sorted(ASSESSMENT_MODALITY.items())
+    )
+    _it_rows = ", ".join(f"('{_q(i)}')" for i in sorted(INTERVENTION_TYPES))
     o["extraction_docs_synthetic"] = f"""
         WITH m(url, name, cls) AS (VALUES {_m_rows}),
         t(subj, pred, obj, url) AS (VALUES {_t_rows}),
         p(url, text_length) AS (VALUES {_p_rows}),
         ms(metric, src) AS (VALUES {_ms_rows}),
         ti(tech) AS (VALUES {_ti_rows}),
-        tl(url, tech, assessment) AS (VALUES {_tl_rows})
+        tl(url, tech, assessment) AS (VALUES {_tl_rows}),
+        am(assessment, modality) AS (VALUES {_am_rows}),
+        it(intervention) AS (VALUES {_it_rows})
         SELECT p.url,
                cast(p.text_length AS BIGINT) AS text_length,
                cast((SELECT count(DISTINCT name) FROM m WHERE m.url = p.url AND cls = 'construct') AS INT) AS constructs_identified,
@@ -1598,14 +1619,17 @@ def oracle_sql() -> dict[str, str]:
                (SELECT min(ms.src) FROM m JOIN ms ON m.name = ms.metric
                 WHERE m.url = p.url AND m.cls = 'metric') AS first_metric_source,
                cast((SELECT count(DISTINCT (tl.tech, tl.assessment)) FROM tl
-                     WHERE tl.url = p.url) AS INT) AS n_tech_links
+                     WHERE tl.url = p.url) AS INT) AS n_tech_links,
+               cast((SELECT count(DISTINCT (subj, obj)) FROM t
+                     WHERE t.url = p.url AND pred = 'targets') AS INT) AS n_targeted_constructs,
+               (SELECT min(am.modality) FROM m JOIN am ON m.name = am.assessment
+                WHERE m.url = p.url AND m.cls = 'assessment') AS first_modality,
+               cast((SELECT count(DISTINCT m.name) FROM m JOIN it ON m.name = it.intervention
+                     WHERE m.url = p.url AND m.cls = 'intervention') AS INT) AS n_typed_interventions
         FROM p
         ORDER BY p.url
     """
 
-    # G5 canonicalization: the Spark side runs iterative min-label propagation
-    # (salted connected components); the oracle computes the same fixpoint as
-    # a recursive-CTE transitive closure + min label per node.  Edges are the
     # Golden VALUES oracles for the approximate queries (minhash / simhash /
     # sign-LSH ANN / IVF ANN): deterministic operators (fixed seeds, fixed
     # corpus) whose expected rows are replayed by INDEPENDENT pure Python in

@@ -142,6 +142,36 @@ TECH_INFO: dict[str, tuple[str, str, str | None]] = {
 }
 
 
+# Assessment -> modality, from the reference's public modality enum
+# (config/ontology_schema.py:23-27: Physical test, Wearable monitoring,
+# Consultation, Cognitive assessment, Survey, Imaging, Labs/bloodwork,
+# Intake, Prevention; per-assessment field at src/prompts.py:565-571).
+# Curated deterministic mapping like METRIC_SOURCE; "Hormone Panel" is
+# deliberately unmapped so the null-modality path stays exercised.
+ASSESSMENT_MODALITY: dict[str, str] = {
+    "Countermovement Jump": "Physical test",
+    "Mammogram": "Imaging",
+    "Lipid Panel": "Labs/bloodwork",
+    "VO2 Max Test": "Physical test",
+    "DEXA Scan": "Imaging",
+    "Sleep Study": "Wearable monitoring",
+    "24-hour Blood Pressure Monitoring": "Wearable monitoring",
+}
+
+# Intervention -> intervention_types, from the reference's public enum
+# (config/ontology_schema.py:19-22: Physical, Nutrition, Sleep, Stress
+# Management, Medical, Education, Recovery; per-intervention list at
+# src/prompts.py:589-596).  "Light Therapy" is deliberately unmapped so the
+# null-types path stays exercised.
+INTERVENTION_TYPES: dict[str, list[str]] = {
+    "12-week Progressive Resistance Training": ["Physical"],
+    "Personalized Nutrition Plan": ["Nutrition"],
+    "Sleep Restriction Therapy": ["Sleep"],
+    "HRV Biofeedback Training": ["Stress Management"],
+    "Aerobic Exercise Training": ["Physical"],
+}
+
+
 def _case_variants(name: str) -> list[str]:
     """Deterministic surface variants: lowercase and hyphenated forms."""
     out = [name]
