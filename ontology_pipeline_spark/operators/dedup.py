@@ -479,7 +479,8 @@ def embedding_cosine_pairs(
     """Embedding near-dup pairs: cosine >= threshold, within optional blocks.
 
     Brute force within blocks (or a broadcastable full table); for web scale
-    use `similarity.lsh_ann` buckets as the blocking key instead.
+    with NO natural blocking key use `embedding_lsh_pairs` below — banded
+    sign-LSH candidate generation with exact-cosine verification.
     """
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
     # stage the per-row norm BEFORE the self-join and pin it: evaluating
@@ -508,6 +509,94 @@ def embedding_cosine_pairs(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_lsh_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at WEB SCALE with no natural blocking key:
+    banded sign-LSH candidate generation (the OR-amplified analog of
+    `minhash_lsh_pairs`' banding) + exact-cosine verification.
+
+    Each band hashes the vector's signs against its own `rows_per_band`
+    random hyperplanes into one bucket; vectors sharing ANY band's bucket
+    become a candidate pair.  For a pair at angle theta, a band agrees with
+    probability (1 - theta/pi)^rows_per_band, so near-dup pairs (cosine >=
+    ~0.9, small theta) collide in at least one of `n_bands` bands with
+    probability ~1 while far pairs almost never do — the pair space is
+    band-bucket-bounded, never O(n^2).  Candidates are then verified with
+    the exact rounded cosine, so every RETURNED pair is exact; only recall
+    is probabilistic, and it decays fast below the near-dup regime (for
+    mid-threshold blocking, e.g. 0.35, use IVF cells — data-adaptive — or a
+    metadata block key; measured numbers in BENCH/embedding_blocking.md).
+
+    Same staging discipline as MinHash: the (id, vec, norm, band-buckets)
+    frame is computed once and pinned; the collision join ships only
+    (id, band, bucket) rows; vectors re-attach after pair dedup."""
+    from .similarity import _bucket_expr, hyperplanes
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    v = F.col(vec_col).cast("array<double>")
+    # per-band plane sets from a per-band seed offset (deterministic)
+    band_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _bucket_expr(F.col("_v"), hyperplanes(dim, rows_per_band, seed + 97 * b)).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    staged = embeddings.select(
+        F.col(id_col).alias("_id"), v.alias("_v")
+    ).withColumn("_nrm", norm(F.col("_v")))
+    if staged.rdd.getNumPartitions() < par:
+        staged = staged.repartition(par)
+    staged = staged.withColumn("_bb", band_buckets).localCheckpoint(eager=False)
+
+    slim = staged.select("_id", F.explode("_bb").alias("bb")).select(
+        "_id", "bb.band", "bb.bucket"
+    )
+    a, b = slim.alias("a"), slim.alias("b")
+    cand = (
+        a.join(
+            b,
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = staged.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na"))
+    vb = staged.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -179,3 +179,50 @@ def test_minhash_dedup_clusters_transitive(spark):
     }
     assert got[1] == got[2] == got[3] == 1
     assert 9 not in got  # no near-dup partner -> no dedup decision needed
+
+
+def test_embedding_lsh_pairs_equals_blocked_on_near_dup_fixture(spark):
+    """VERDICT r2 #6: the docstring-promised LSH blocking for embedding
+    dedup, composed end-to-end.  On a seeded near-dup fixture (every 4th
+    sf0.001 vector gets a scaled + lightly-perturbed clone, cosine ~0.999)
+    the banded sign-LSH path must find EXACTLY the pairs the label-blocked
+    and the unblocked brute-force paths find at the near-dup threshold —
+    same ids, same rounded cosines — while never enumerating O(n^2)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ontology_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = base.select("vec_id", "label", "embedding").collect()
+    rng = random.Random(5)
+    clones = []
+    for r in rows:
+        if r["vec_id"] % 4 == 0:
+            v = [float(x) for x in r["embedding"]]
+            pert = [x * 1.05 + rng.gauss(0.0, 0.002) for x in v]
+            clones.append((r["vec_id"] + 100_000, r["label"], pert))
+    fixture = spark.createDataFrame(
+        [(r["vec_id"], r["label"], [float(x) for x in r["embedding"]]) for r in rows] + clones,
+        "vec_id long, label string, embedding array<double>",
+    )
+
+    t = 0.98
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(fixture, threshold=t).collect()
+    }
+    label_blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(fixture, block_col="label", threshold=t).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_lsh_pairs(fixture, threshold=t).collect()
+    }
+    assert len(brute) == len(clones) > 0  # each clone pairs with its source only
+    assert banded == label_blocked == brute
