@@ -148,6 +148,85 @@ def resize_pixels(
     return bytes(out)
 
 
+def wav_decode(b: bytes) -> tuple[int, int, int, list[int]] | None:
+    """Pure-stdlib WAV (RIFF) PCM decode: (sample_rate, channels, n_frames,
+    interleaved 16-bit samples) for format-1 (PCM) 16-bit streams; walks the
+    chunk list to fmt/data per spec (extra chunks like LIST are skipped,
+    odd-sized chunks are padded per RIFF).  Returns None (never raises) for
+    non-WAV, non-PCM, non-16-bit, or truncated payloads."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        ln = int.from_bytes(b[i + 4 : i + 8], "little")
+        chunk = b[i + 8 : i + 8 + ln]
+        if len(chunk) < ln:
+            return None
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        i += 8 + ln + (ln & 1)  # RIFF pads odd chunks to even offsets
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or channels == 0 or sample_rate == 0:
+        return None
+    if len(data) % (2 * channels) != 0:
+        return None
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data))
+    return (sample_rate, channels, n // channels, samples)
+
+
+def audio_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio featurize for decodable PCM WAVs, one narrow Arrow-batched
+    stage: sample_rate / channels / n_frames / duration_ms (exact integer
+    millisecond floor) / peak (max |sample|) / rms (sqrt of the exact
+    integer sum of squares over n, round 6 — bit-reproducible in any
+    IEEE-754 engine).  Undecodable payloads yield NULL rows, never raise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        cols = ["media_id", "format", "sample_rate", "channels", "n_frames", "duration_ms", "peak", "rms"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                decoded = wav_decode(bytes(payload)) if payload is not None else None
+                if decoded is None:
+                    rows.append((mid, None, None, None, None, None, None, None))
+                    continue
+                rate, ch, n_frames, samples = decoded
+                n = len(samples)
+                ssq = sum(s * s for s in samples)
+                rows.append(
+                    (
+                        mid,
+                        "wav",
+                        rate,
+                        ch,
+                        n_frames,
+                        n_frames * 1000 // rate,
+                        max((abs(s) for s in samples), default=0),
+                        round(math.sqrt(ssq / n), 6) if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        run,
+        schema=(
+            "media_id string, format string, sample_rate long, channels long, "
+            "n_frames long, duration_ms long, peak long, rms double"
+        ),
+    )
+
+
 def _decode_and_featurize(payload: bytes | None, kind: str, stub: bool) -> list[float] | None:
     if payload is None:
         return None
@@ -155,9 +234,10 @@ def _decode_and_featurize(payload: bytes | None, kind: str, stub: bool) -> list[
         decoded = png_decode(payload)
         if decoded is None:
             raise NotImplementedError(
-                "real pixel decode implemented for PNG only; other formats "
-                "(JPEG entropy decode, audio, video) need a codec library "
-                "not present in this environment — plug a decoder in here"
+                "real decode implemented for PNG pixels (here) and PCM WAV "
+                "audio (audio_stats); other formats (JPEG entropy decode, "
+                "compressed audio, video) need a codec library not present "
+                "in this environment — plug a decoder in here"
             )
         w, h, ch, pix = decoded
         n = w * h

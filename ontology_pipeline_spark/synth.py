@@ -365,6 +365,45 @@ def png_encode(
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
 
 
+def wav_encode(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Pure-stdlib 16-bit PCM WAV writer (RIFF/WAVE/fmt/data), independent of
+    the operator-side decoder.  `samples` are interleaved int16 frames."""
+    import struct as _struct
+
+    data = _struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = _struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(data)) + data
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+AUDIO_WAVEFORMS = ["triangle", "square", "noise"]
+
+
+def generate_audio_samples(i: int, rng: random.Random) -> tuple[int, int, list[int]]:
+    """Deterministic integer waveform for audio row i: (rate, channels,
+    interleaved samples).  Integer-exact so replay stats need no float
+    reconstruction of the synthesis."""
+    rate = [8000, 11025, 16000][i % 3]
+    ch = 1 + (i % 2)
+    n_frames = rng.randint(200, 900)
+    kind = AUDIO_WAVEFORMS[i % len(AUDIO_WAVEFORMS)]
+    period = 20 + 7 * (i % 5)
+    samples: list[int] = []
+    for t in range(n_frames):
+        for c in range(ch):
+            if kind == "triangle":
+                phase = (t + 3 * c) % period
+                v = (abs(2 * phase - period) * 30000 // period) - 15000
+            elif kind == "square":
+                v = 12000 if ((t + c) // period) % 2 == 0 else -12000
+            else:
+                v = rng.randrange(-20000, 20001)
+            samples.append(v)
+    return rate, ch, samples
+
+
 MEDIA_LABELS = ["gradient", "checker", "noise"]
 
 
@@ -374,9 +413,11 @@ class MediaCorpus:
     rows: list[tuple]
     # media_id -> (width, height, channels, raw samples) for image rows
     pixels: dict[str, tuple[int, int, int, bytes]] = field(default_factory=dict)
+    # media_id -> (sample_rate, channels, interleaved int16 samples) for audio
+    waveforms: dict[str, tuple[int, int, list[int]]] = field(default_factory=dict)
 
 
-def generate_media_corpus(n_images: int = 48, seed: int = 11) -> MediaCorpus:
+def generate_media_corpus(n_images: int = 48, seed: int = 11, n_audio: int = 9) -> MediaCorpus:
     """Seeded media table: PNGs of varied size (5-24 px, deliberately NOT
     multiples of the thumbnail dims so resize bins are uneven), channel
     layout cycling gray/RGB/RGBA/gray-alpha, per-row filter types cycling
@@ -405,12 +446,29 @@ def generate_media_corpus(n_images: int = 48, seed: int = 11) -> MediaCorpus:
         payload = png_encode(w, h, ch, bytes(pix), filters=[(i + k) % 5 for k in range(5)])
         rows.append((mid, "image", payload, "image/png", w, h, None, label))
         pixels[mid] = (w, h, ch, bytes(pix))
+    waveforms: dict[str, tuple[int, int, list[int]]] = {}
+    for i in range(n_audio):
+        rate, ch, samples = generate_audio_samples(i, rng)
+        mid = f"wav{i:03d}"
+        rows.append(
+            (
+                mid,
+                "audio",
+                wav_encode(rate, ch, samples),
+                "audio/wav",
+                None,
+                None,
+                len(samples) // ch * 1000 // rate,
+                AUDIO_WAVEFORMS[i % len(AUDIO_WAVEFORMS)],
+            )
+        )
+        waveforms[mid] = (rate, ch, samples)
     rows.append(("bad000", "image", b"not a png at all", "image/png", None, None, None, "garbage"))
     rows.append(("bad001", "image", _PNG_SIG + b"\x00\x00truncated", "image/png", None, None, None, "garbage"))
     rows.append(("aud000", "audio", b"RIFF fake wave bytes", "audio/wav", None, None, 2500, "audio"))
     rows.append(("vid000", "video", b"\x00\x00ftyp fake", "video/mp4", 640, 480, 3500, "video"))
     rows.append(("nul000", "image", None, "image/png", None, None, None, "null"))
-    return MediaCorpus(rows=rows, pixels=pixels)
+    return MediaCorpus(rows=rows, pixels=pixels, waveforms=waveforms)
 
 
 def media_df(spark, corpus: MediaCorpus):

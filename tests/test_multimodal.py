@@ -175,3 +175,67 @@ def test_image_dimensions_real_parse(spark):
     assert got["j1"] == ("jpeg", 1920, 1080)
     assert got["x1"] == (None, None, None)
     assert got["n1"] == (None, None, None)
+
+
+def test_wav_decode_roundtrips_and_rejects_garbage():
+    """Audio path is REAL too: the pure-stdlib PCM WAV decoder roundtrips
+    the independent encoder across rates/channel layouts; non-WAV and
+    tampered payloads yield None, never raise."""
+    import random
+
+    from ontology_pipeline_spark.operators.multimodal import wav_decode
+    from ontology_pipeline_spark.synth import generate_audio_samples, wav_encode
+
+    rng = random.Random(3)
+    for i in range(6):
+        rate, ch, samples = generate_audio_samples(i, rng)
+        got = wav_decode(wav_encode(rate, ch, samples))
+        assert got == (rate, ch, len(samples) // ch, samples), i
+    assert wav_decode(b"RIFF fake wave bytes") is None
+    assert wav_decode(b"not audio") is None
+    good = wav_encode(8000, 1, [0, 100, -100])
+    tampered = bytearray(good)
+    tampered[20] = 3  # audio_format -> IEEE float (unsupported)
+    assert wav_decode(bytes(tampered)) is None
+
+
+def test_wav_decode_skips_extra_riff_chunks():
+    """RIFF walkers must skip non-fmt/data chunks (LIST metadata) and honor
+    odd-length chunk padding."""
+    import struct
+
+    from ontology_pipeline_spark.operators.multimodal import wav_decode
+
+    samples = [5, -5, 1000]
+    data = struct.pack("<3h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    odd_list = b"xyz"  # 3 bytes -> padded to 4
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", len(odd_list)) + odd_list + b"\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert wav_decode(payload) == (8000, 1, 3, samples)
+
+
+def test_audio_stats_matches_generation_waveforms(spark):
+    import math
+
+    from ontology_pipeline_spark.operators.multimodal import audio_stats
+    from ontology_pipeline_spark.synth import generate_media_corpus, media_df
+
+    corpus = generate_media_corpus(n_images=4, seed=11, n_audio=6)
+    out = {r["media_id"]: r for r in audio_stats(media_df(spark, corpus)).collect()}
+    for mid, (rate, ch, samples) in corpus.waveforms.items():
+        r = out[mid]
+        n = len(samples)
+        assert (r["format"], r["sample_rate"], r["channels"]) == ("wav", rate, ch)
+        assert r["n_frames"] == n // ch
+        assert r["duration_ms"] == (n // ch) * 1000 // rate
+        assert r["peak"] == max(abs(s) for s in samples)
+        assert r["rms"] == round(math.sqrt(sum(s * s for s in samples) / n), 6)
+    # images / garbage / null payloads flow through as NULL rows, no raise
+    assert out["bad000"]["format"] is None and out["nul000"]["format"] is None
+    assert out["img000"]["format"] is None
