@@ -522,6 +522,7 @@ def embedding_lsh_pairs(
     n_bands: int = 8,
     rows_per_band: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at WEB SCALE with no natural blocking key:
     banded sign-LSH candidate generation (the OR-amplified analog of
@@ -541,10 +542,28 @@ def embedding_lsh_pairs(
 
     Same staging discipline as MinHash: the (id, vec, norm, band-buckets)
     frame is computed once and pinned; the collision join ships only
-    (id, band, bucket) rows; vectors re-attach after pair dedup."""
+    (id, band, bucket) rows; vectors re-attach after pair dedup.
+
+    Pass `dim` (the vector dimensionality) to keep plan construction
+    job-free; without it, one limit-1 job probes the first non-null vector
+    (an empty/all-null input then returns an empty pair frame instead of
+    raising)."""
     from .similarity import _bucket_expr, hyperplanes
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        probe = (
+            embeddings.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        )
+        if probe is None:
+            # no vectors at all: an empty pair frame with the right types
+            return (
+                embeddings.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cosine"),
+                ).filter(F.lit(False))
+            )
+        dim = len(probe[0])
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
     v = F.col(vec_col).cast("array<double>")
     # per-band plane sets from a per-band seed offset (deterministic)
@@ -560,9 +579,11 @@ def embedding_lsh_pairs(
         ]
     )
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    staged = embeddings.select(
-        F.col(id_col).alias("_id"), v.alias("_v")
-    ).withColumn("_nrm", norm(F.col("_v")))
+    staged = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), v.alias("_v"))
+        .withColumn("_nrm", norm(F.col("_v")))
+    )
     if staged.rdd.getNumPartitions() < par:
         staged = staged.repartition(par)
     staged = staged.withColumn("_bb", band_buckets).localCheckpoint(eager=False)

@@ -54,12 +54,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def png_decode(b: bytes) -> tuple[int, int, int, bytes] | None:
+def png_decode(b: bytes, max_pixel_bytes: int = 1 << 27) -> tuple[int, int, int, bytes] | None:
     """Pure-stdlib PNG pixel decode: (width, height, channels, raw samples
     row-major) for 8-bit depth, color types 0/2/4/6, non-interlaced streams;
     multiple IDAT chunks are concatenated per spec.  Returns None (never
     raises) for non-PNG, unsupported shapes (16-bit, palette, interlaced),
-    or corrupt/truncated streams."""
+    corrupt/truncated streams, or images whose declared size exceeds
+    `max_pixel_bytes` (128 MiB default).  Decompression is BOUNDED to the
+    IHDR-declared size: a tiny crafted zlib bomb in IDAT cannot inflate
+    past it and OOM the executor — a corrupt/malicious shard yields a NULL
+    row, never a dead scan."""
     if len(b) < 8 or b[:8] != _PNG_SIG:
         return None
     i, ihdr, idat = 8, None, []
@@ -85,12 +89,19 @@ def png_decode(b: bytes) -> tuple[int, int, int, bytes] | None:
         return None
     if w == 0 or h == 0:
         return None
+    stride = w * ch
+    expected = h * (stride + 1)
+    if expected > max_pixel_bytes:
+        return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate: ask for at most expected+1 bytes — a decompression
+        # bomb is detected (unconsumed tail / oversize output) without ever
+        # materializing it
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
         return None
     out = bytearray(h * stride)
     prev = bytearray(stride)
@@ -233,12 +244,23 @@ def _decode_and_featurize(payload: bytes | None, kind: str, stub: bool) -> list[
     if not stub:
         decoded = png_decode(payload)
         if decoded is None:
-            raise NotImplementedError(
-                "real decode implemented for PNG pixels (here) and PCM WAV "
-                "audio (audio_stats); other formats (JPEG entropy decode, "
-                "compressed audio, video) need a codec library not present "
-                "in this environment — plug a decoder in here"
-            )
+            # corrupt-vs-unsupported distinction (the never-raise contract):
+            # a recognizable container that needs a real codec (JPEG SOI,
+            # RIFF audio, ISO-BMFF video) raises at this documented seam;
+            # anything else — corrupt PNG, truncated stream, garbage bytes —
+            # yields a NULL feature so one bad shard cannot kill the scan
+            if (
+                payload[:2] == b"\xff\xd8"
+                or payload[:4] == b"RIFF"
+                or payload[4:8] == b"ftyp"
+            ):
+                raise NotImplementedError(
+                    "real decode implemented for PNG pixels (here) and PCM "
+                    "WAV audio (audio_stats); other formats (JPEG entropy "
+                    "decode, compressed audio, video) need a codec library "
+                    "not present in this environment — plug a decoder in here"
+                )
+            return None
         w, h, ch, pix = decoded
         n = w * h
         means = [0.0] * 4

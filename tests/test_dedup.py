@@ -226,3 +226,22 @@ def test_embedding_lsh_pairs_equals_blocked_on_near_dup_fixture(spark):
     }
     assert len(brute) == len(clones) > 0  # each clone pairs with its source only
     assert banded == label_blocked == brute
+
+
+def test_embedding_lsh_pairs_empty_and_null_safe(spark):
+    """Empty input / all-NULL vectors return an empty pair frame (matching
+    embedding_cosine_pairs) instead of raising at plan-construction time;
+    passing dim= keeps construction job-free and equal."""
+    from ontology_pipeline_spark.operators.dedup import embedding_lsh_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_lsh_pairs(empty).count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], "vec_id long, embedding array<double>")
+    assert embedding_lsh_pairs(nulls).count() == 0
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.02, 0.0]), (2, None), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in embedding_lsh_pairs(vecs, threshold=0.99).collect()}
+    want = {(r["id_a"], r["id_b"]) for r in embedding_lsh_pairs(vecs, threshold=0.99, dim=3).collect()}
+    assert got == want == {(0, 1)}

@@ -239,3 +239,54 @@ def test_audio_stats_matches_generation_waveforms(spark):
     # images / garbage / null payloads flow through as NULL rows, no raise
     assert out["bad000"]["format"] is None and out["nul000"]["format"] is None
     assert out["img000"]["format"] is None
+
+
+def test_png_decode_bounds_decompression_bombs():
+    """A tiny payload whose IDAT inflates far past the IHDR-declared size (a
+    zlib bomb) must yield None without materializing the inflated stream;
+    declared-size overflow (huge IHDR dims) is rejected before any inflate."""
+    import struct
+    import zlib
+
+    from ontology_pipeline_spark.operators.multimodal import png_decode
+
+    def chunk(typ, data):
+        return len(data).to_bytes(4, "big") + typ + data + zlib.crc32(typ + data).to_bytes(4, "big")
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # bomb: IHDR says 4x4 gray (expected 20 bytes) but IDAT inflates to 40 MB
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 40_000_000)) + chunk(b"IEND", b"")
+    assert len(bomb) < 50_000  # the payload itself is tiny
+    assert png_decode(bomb) is None
+    # truncated stream: valid zlib prefix but no stream end -> None
+    good_raw = b"".join(b"\x00" + bytes(4) for _ in range(4))
+    z = zlib.compress(good_raw)
+    trunc = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", z[: len(z) - 4]) + chunk(b"IEND", b"")
+    assert png_decode(trunc) is None
+    # declared-size cap: 50000x50000 RGBA would be 10 GB of samples
+    huge = struct.pack(">IIBBBBB", 50_000, 50_000, 8, 6, 0, 0, 0)
+    cap = sig + chunk(b"IHDR", huge) + chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b"")
+    assert png_decode(cap) is None
+
+
+def test_stub_false_null_for_corrupt_raise_only_at_codec_seam(spark):
+    """The never-raise contract under stub=False: corrupt PNG / garbage
+    bytes yield a NULL feature row; only recognizable containers that need a
+    real codec (JPEG SOI, RIFF, ftyp) raise at the documented seam."""
+    corrupt = spark.createDataFrame(
+        [
+            ("c1", "image", b"\x89PNG\r\n\x1a\n\x00\x00truncated junk"),
+            ("c2", "image", b"complete garbage, no container signature"),
+        ],
+        "media_id string, kind string, payload binary",
+    )
+    out = {r["media_id"]: r["feature"] for r in extract_media_features(corrupt, stub=False).collect()}
+    assert out == {"c1": None, "c2": None}
+    jpeg = spark.createDataFrame(
+        [("j1", "image", b"\xff\xd8\xff\xe0 jpeg-ish")],
+        "media_id string, kind string, payload binary",
+    )
+    with pytest.raises(Exception) as ei:
+        extract_media_features(jpeg, stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
