@@ -471,6 +471,55 @@ def generate_media_corpus(n_images: int = 48, seed: int = 11, n_audio: int = 9) 
     return MediaCorpus(rows=rows, pixels=pixels, waveforms=waveforms)
 
 
+def distributed_media(spark, n_media: int, seed: int = 19, partitions: int | None = None):
+    """Media generated ON THE EXECUTORS — per-id seeded RNG inside
+    mapInPandas (the multimodal analog of `distributed_pages`): the driver
+    never holds a payload, so corpus size is bounded by cluster storage,
+    not driver RAM.  Content distribution matches `generate_media_corpus`'s
+    image rows (labels x channel layouts x 5-24 px sizes x filter cycling);
+    the RNG stream differs (per-id seed vs one sequential stream), so
+    per-corpus goldens apply per generator, same caveat as pages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 4
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "kind", "payload", "mime", "width", "height", "duration_ms", "label"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = random.Random(seed * 1_000_003 + i)
+                label = MEDIA_LABELS[i % len(MEDIA_LABELS)]
+                ch = [1, 3, 4, 2][i % 4]
+                w, h = rng.randint(5, 24), rng.randint(5, 24)
+                pix = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        for c in range(ch):
+                            if label == "gradient":
+                                v = (x * 255 // max(w - 1, 1) + 37 * c + 3 * y) % 256
+                            elif label == "checker":
+                                v = 255 if (x // 2 + y // 2 + c) % 2 == 0 else 13
+                            else:
+                                v = rng.randrange(256)
+                            pix.append(v)
+                payload = png_encode(w, h, ch, bytes(pix), filters=[(i + k) % 5 for k in range(5)])
+                rows.append((f"img{i:09d}", "image", payload, "image/png", w, h, None, label))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return spark.range(n_media, numPartitions=partitions).mapInPandas(
+        gen,
+        schema=(
+            "media_id string, kind string, payload binary, mime string, "
+            "width long, height long, duration_ms long, label string"
+        ),
+    )
+
+
 def media_df(spark, corpus: MediaCorpus):
     return spark.createDataFrame(
         corpus.rows,

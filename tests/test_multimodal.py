@@ -290,3 +290,17 @@ def test_stub_false_null_for_corrupt_raise_only_at_codec_seam(spark):
     with pytest.raises(Exception) as ei:
         extract_media_features(jpeg, stub=False).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_distributed_media_deterministic_and_decodable(spark):
+    """Executor-side media generation (the multimodal analog of
+    distributed_pages): partitioning-independent for a seed, every payload
+    decodes, stats chain runs end-to-end."""
+    from ontology_pipeline_spark.operators.multimodal import image_channel_stats
+    from ontology_pipeline_spark.synth import distributed_media
+
+    a = {r["media_id"]: bytes(r["payload"]) for r in distributed_media(spark, 40, seed=19, partitions=2).collect()}
+    b = {r["media_id"]: bytes(r["payload"]) for r in distributed_media(spark, 40, seed=19, partitions=7).collect()}
+    assert a == b and len(a) == 40  # per-id seeding: partitioning-invariant
+    stats = image_channel_stats(distributed_media(spark, 40, seed=19)).collect()
+    assert len(stats) == 40 and all(r["format"] == "png" for r in stats)
