@@ -131,6 +131,60 @@ def simhash(text_col: Column, bits: int = 32) -> Column:
     return F.when(F.size(toks) > 0, out).otherwise(F.lit(0).cast("long"))
 
 
+def dup_line_fraction(text_col: Column) -> Column:
+    """Gopher/RefinedWeb-style repetition signal: fraction of lines that are
+    duplicates of an earlier line (1 - distinct/total over non-empty trimmed
+    lines).  Boilerplate-heavy web pages (repeated nav/footer rows) score
+    high; prose scores ~0.  Pure expression, round(6)."""
+    lines = F.filter(
+        F.transform(F.split(text_col, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n = F.size(lines)
+    frac = F.lit(1.0) - F.size(F.array_distinct(lines)) / n
+    return F.when(n > 0, F.round(frac, 6)).otherwise(F.lit(0.0))
+
+
+def dup_token_fraction(text_col: Column) -> Column:
+    """Fraction of tokens that repeat an earlier token (1 - ttr).  The
+    Gopher report's word-repetition family reduced to its expression-only
+    member; round(6)."""
+    toks = tokens(F.lower(text_col))
+    n = F.size(toks)
+    frac = F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    return F.when(n > 0, F.round(frac, 6)).otherwise(F.lit(0.0))
+
+
+def structural_flags(
+    text_col: Column,
+    max_dup_line_frac: float = 0.3,
+    max_dup_token_frac: float = 0.7,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.2,
+) -> Column:
+    """Gopher-style structural quality gate as one boolean Column: passes
+    documents whose repetition and character-shape statistics look like
+    prose.  Each sub-signal is a pure expression; compose with the curation
+    chain's language/quality gates (they fuse into the same scan)."""
+    toks = tokens(F.lower(text_col))
+    n = F.size(toks)
+    mean_wlen = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n,
+    ).otherwise(F.lit(0.0))
+    sym = F.length(text_col) - F.length(
+        F.regexp_replace(text_col, r"[#\\{\\}<>|\\\\^~\\[\\]]", "")
+    )
+    sym_ratio = F.when(F.length(text_col) > 0, sym / F.length(text_col)).otherwise(F.lit(0.0))
+    return (
+        (dup_line_fraction(text_col) <= max_dup_line_frac)
+        & (dup_token_fraction(text_col) <= max_dup_token_frac)
+        & mean_wlen.between(min_mean_word_len, max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+    )
+
+
 def profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full analysis column set to a documents DataFrame."""
     t = F.col(text_col)

@@ -70,3 +70,41 @@ def test_profile_runs_on_documents_table(spark):
     out = profile(docs)
     assert out.count() == 50
     assert {"n_tokens", "ttr", "quality", "lang_pred", "fp"} <= set(out.columns)
+
+
+def test_repetition_signals_and_structural_flags(spark):
+    from ontology_pipeline_spark.operators.text_analysis import (
+        dup_line_fraction,
+        dup_token_fraction,
+        structural_flags,
+    )
+
+    prose = (
+        "The measured documents cover several distinct health constructs.\n"
+        "Every page contributes new sentences with varied vocabulary today.\n"
+        "Assessment results inform the next training block cleanly."
+    )
+    boiler = "\n".join(["Home | About | Contact"] * 8 + ["One real line here."])
+    symbols = "{{{### }}} <<>> |||| ^^ ~~ [[[]]] {#} " * 5
+    df = spark.createDataFrame(
+        [(1, prose), (2, boiler), (3, symbols), (4, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_line_fraction(F.col("text")).alias("dl"),
+            dup_token_fraction(F.col("text")).alias("dt"),
+            structural_flags(F.col("text")).alias("ok"),
+        ).collect()
+    }
+    assert out[1]["dl"] == 0.0 and out[1]["ok"] is True
+    assert out[2]["dl"] > 0.7 and out[2]["ok"] is False   # repeated nav rows
+    assert out[3]["ok"] is False                          # symbol soup
+    assert out[4]["ok"] is False and out[4]["dl"] == 0.0  # empty doc fails gate
+    # pure expressions: no Python stage in the plan
+    plan = (
+        df.select(structural_flags(F.col("text")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
