@@ -20,22 +20,33 @@ from pyspark.sql import functions as F
 
 # (pattern, replacement) chains, applied in order.  Order matters: emails
 # before bare digit runs (an email's digits must not be half-masked first).
+# Phone patterns are PRECISION-FIRST: each requires an unambiguous phone
+# shape (leading +CC, parenthesized area code, or 3-3-4 dashed/dotted
+# groups), because a recall-first pattern mass-corrupts benign numeric
+# prose — dates (2019-08-17 is 4-2-2), grouped thousands (1 000 000) and
+# score rows must survive a cleaning stage that runs on every document.
 PII_PATTERNS: list[tuple[str, str]] = [
     # emails
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     # IPv4 (word-bounded; \b is RE2-safe)
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
-    # international-ish phone numbers: optional +CC, separator-grouped digits
-    (r"\+?\d{1,3}[-. (]{1,2}\d{2,4}[-. )]{1,2}\d{2,4}[-. ]?\d{0,4}", "[PHONE]"),
+    # phones, three unambiguous shapes:
+    # +CC [sep] (area) [sep] group [sep] group
+    (r"\+\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{2,4}\b", "[PHONE]"),
+    # (area) group-group
+    (r"\(\d{3}\)[ .-]?\d{3}[ .-]?\d{4}\b", "[PHONE]"),
+    # 3-3-4 dashed/dotted (dates are 4-2-2 or 2-2-4 and never match)
+    (r"\b\d{3}[.-]\d{3}[.-]\d{4}\b", "[PHONE]"),
     # long digit runs (account/card numbers); 9+ so years/zip codes survive
     (r"\b\d{9,}\b", "[NUMBER]"),
 ]
 
 
 def redact_pii(text: Column, patterns: list[tuple[str, str]] | None = None) -> Column:
-    """Chain of `regexp_replace` masks over a text column (JVM-side)."""
+    """Chain of `regexp_replace` masks over a text column (JVM-side).
+    `patterns=[]` is an explicit no-op (only None selects the defaults)."""
     out = text
-    for pat, repl in patterns or PII_PATTERNS:
+    for pat, repl in patterns if patterns is not None else PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
 
@@ -64,8 +75,12 @@ def c4_line_filter(
     lines, keep lines with >= min_words words that end in terminal
     punctuation and match no drop pattern, re-join.  A page reduced to
     nothing yields the empty string (callers gate on length downstream)."""
+    from .text_analysis import tokens
+
     lines = F.split(text, r"\n")
-    word_count = lambda l: F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != F.lit("")))
+    # one tokenization definition pipeline-wide: reuse text_analysis.tokens
+    # so the min-words gate can never diverge from token_count/quality
+    word_count = lambda l: F.size(tokens(F.trim(l)))
     keep = lambda l: (
         (word_count(l) >= F.lit(min_words))
         & (

@@ -166,9 +166,17 @@ def structural_flags(
     """Gopher-style structural quality gate as one boolean Column: passes
     documents whose repetition and character-shape statistics look like
     prose.  Each sub-signal is a pure expression; compose with the curation
-    chain's language/quality gates (they fuse into the same scan)."""
+    chain's language/quality gates (they fuse into the same scan).
+
+    The token array is built ONCE and shared by the dup-token and
+    mean-word-length signals (HOF expressions are CodegenFallback, so
+    Catalyst's subexpression elimination is not guaranteed to merge
+    duplicate tokenize subtrees — don't hand it two)."""
     toks = tokens(F.lower(text_col))
     n = F.size(toks)
+    dup_tok = F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    ).otherwise(F.lit(0.0))
     mean_wlen = F.when(
         n > 0,
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n,
@@ -179,7 +187,7 @@ def structural_flags(
     sym_ratio = F.when(F.length(text_col) > 0, sym / F.length(text_col)).otherwise(F.lit(0.0))
     return (
         (dup_line_fraction(text_col) <= max_dup_line_frac)
-        & (dup_token_fraction(text_col) <= max_dup_token_frac)
+        & (dup_tok <= max_dup_token_frac)
         & mean_wlen.between(min_mean_word_len, max_mean_word_len)
         & (sym_ratio <= max_symbol_ratio)
     )

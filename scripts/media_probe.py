@@ -94,9 +94,23 @@ def main() -> None:
             text=True,
             cwd=REPO,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr)
+            raise SystemExit(f"worker local[{cores}] failed (rc={out.returncode})")
+        json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not json_lines:
+            sys.stderr.write(out.stderr)
+            raise SystemExit(f"worker local[{cores}] produced no result line")
+        line = json_lines[-1]
         results[cores] = json.loads(line)
         print(line)
+        # the evidence file claims every image decoded — assert it, so a
+        # decoder regression can never write silently-wrong curated numbers
+        if results[cores]["decoded"] != N_MEDIA:
+            raise SystemExit(
+                f"decode shortfall at local[{cores}]: "
+                f"{results[cores]['decoded']}/{N_MEDIA} decoded"
+            )
     r8, r32 = results[8], results[32]
     eff = (r32["images_per_sec"] / r8["images_per_sec"]) / 4
     print(f"eff(8->32)={eff:.3f}")

@@ -36,6 +36,30 @@ def test_redact_order_email_before_digits(spark):
     assert out == "mail [EMAIL] now"  # not half-masked to [NUMBER]@qq.com
 
 
+def test_redact_precision_benign_numeric_prose_survives(spark):
+    """Round-3 review regression: the phone mask must be precision-first —
+    dates, grouped thousands and score rows are NOT phones, and the mask
+    must never swallow adjacent spaces/punctuation."""
+    text = (
+        "Updated 2019-08-17. Released 17.08.2019 at cost 1 000 000 dollars; "
+        "scores were 10 20 30 yesterday. Call 555-123-4567 or (212) 555-0101 "
+        "or +44 20 7946 0958 today."
+    )
+    out = _one(spark, text, redact_pii(F.col("text")))
+    assert "2019-08-17" in out and "17.08.2019" in out
+    assert "1 000 000 dollars" in out
+    assert "scores were 10 20 30 yesterday." in out
+    assert "555-123-4567" not in out and "(212) 555-0101" not in out
+    assert "7946" not in out  # +CC-form phone masked
+    assert "[PHONE] or [PHONE] or [PHONE] today." in out  # no glued words
+
+
+def test_redact_empty_patterns_is_noop(spark):
+    """patterns=[] means 'no masks', not 'the defaults' (falsy-list trap)."""
+    out = _one(spark, "mail a@b.io now", redact_pii(F.col("text"), patterns=[]))
+    assert out == "mail a@b.io now"
+
+
 def test_c4_line_filter_structural(spark):
     text = "\n".join(
         [
