@@ -1,7 +1,9 @@
 """Training-data curation chain — the composition a 100 TB corpus pipeline
 runs before anything else touches the data:
 
-    documents -> language gate -> quality floor -> exact dedup
+    documents -> (optional) clean: C4 line filter + PII redaction
+              -> (optional) structural gate (Gopher repetition/shape flags)
+              -> language gate -> quality floor -> exact dedup
               -> transitive near-dup drop -> (optional) consistent sample
 
 Every stage is an existing engine operator (text_analysis, dedup, sampling)
@@ -21,9 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.clean import clean_documents
 from ..operators.dedup import exact_dedup, minhash_dedup_clusters
 from ..operators.sampling import hash_sample
-from ..operators.text_analysis import lang_id, quality_score
+from ..operators.text_analysis import lang_id, quality_score, structural_flags
 
 
 def curate_documents(
@@ -37,6 +40,8 @@ def curate_documents(
     bands: int = 8,
     shingle_n: int = 2,
     sample_rate: float | None = None,
+    clean: bool = False,
+    structural_gate: bool = False,
 ) -> DataFrame:
     """Surviving rows plus `lang_pred` and `quality` columns.
 
@@ -44,7 +49,18 @@ def curate_documents(
     shrink the corpus before any shuffle), exact dedup before near-dup
     (byte-dups would otherwise waste LSH work pairing with themselves),
     near-dup keeps each cluster's min-id representative, and the optional
-    sample runs last so its rate applies to the CURATED population."""
+    sample runs last so its rate applies to the CURATED population.
+
+    ``clean=True`` prepends the web-text cleaning stage (C4 line filter +
+    PII redaction, operators/clean.py) and ``structural_gate=True`` the
+    Gopher-style repetition/shape gate — both narrow expressions that fuse
+    into the same scan as the language/quality gates.  Both default OFF:
+    the `curated_documents` golden replay pins the 5-stage chain, and the
+    driver's synthetic corpus is already clean prose."""
+    if clean:
+        docs = clean_documents(docs, text_col)
+    if structural_gate:
+        docs = docs.filter(structural_flags(F.col(text_col)))
     d = (
         docs.withColumn("lang_pred", lang_id(F.col(text_col)))
         .filter(F.col("lang_pred") == lang)

@@ -97,3 +97,32 @@ def test_curation_chain_semantics(spark):
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     sids = {r["doc_id"] for r in sampled.select("doc_id").collect()}
     assert sids < ids
+
+
+def test_curation_chain_with_clean_and_structural_stages(spark):
+    """The optional round-3 pre-stages compose into the chain: boilerplate /
+    PII / symbol-soup documents are cleaned or gated out BEFORE the
+    language gate, and the default chain (both flags off) is unchanged."""
+    from ontology_pipeline_spark.plans.curate import curate_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This corpus page carries real varied prose that survives every curation gate applied here today. "
+                "It continues with several additional meaningful sentences about measurement and training quality. "
+                "The vocabulary stays diverse and the lines end with punctuation."),
+            (2, "Home | About | Contact\n" * 10 + "One real line with an email a@b.io inside it."),
+            (3, "{{{### }}} <<>> |||| ^^ ~~ [[[]]] " * 20),
+        ],
+        ["doc_id", "text"],
+    )
+    base = {r["doc_id"] for r in curate_documents(docs, min_quality=0.0).collect()}
+    curated = curate_documents(
+        docs, min_quality=0.0, clean=True, structural_gate=True
+    )
+    rows = {r["doc_id"]: r["text"] for r in curated.collect()}
+    assert 3 not in rows          # symbol soup fails the structural gate
+    assert 1 in rows              # prose survives both new stages
+    if 2 in rows:                 # if doc 2 survives, its PII is masked and
+        assert "a@b.io" not in rows[2]  # the nav boilerplate lines are gone
+        assert "Home | About" not in rows[2]
+    assert 1 in base              # default chain still runs without the stages
