@@ -304,3 +304,34 @@ def test_distributed_media_deterministic_and_decodable(spark):
     assert a == b and len(a) == 40  # per-id seeding: partitioning-invariant
     stats = image_channel_stats(distributed_media(spark, 40, seed=19)).collect()
     assert len(stats) == 40 and all(r["format"] == "png" for r in stats)
+
+
+def test_decoders_never_raise_on_seeded_mutations():
+    """Durable form of the round-3 review fuzz: hundreds of seeded byte
+    flips, truncations, and splices over valid PNG/WAV payloads — the
+    decoders must return a result or None, never raise (the 100 TB
+    corrupt-shard contract)."""
+    import random
+
+    from ontology_pipeline_spark.operators.multimodal import png_decode, wav_decode
+    from ontology_pipeline_spark.synth import generate_audio_samples, wav_encode
+
+    rng = random.Random(1234)
+    pix = bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(16) for x in range(12) for c in range(3))
+    base_png = png_encode(12, 16, 3, pix, filters=[0, 1, 2, 3, 4])
+    rate, ch, samples = generate_audio_samples(0, rng)
+    base_wav = wav_encode(rate, ch, samples)
+
+    for base, decode in ((base_png, png_decode), (base_wav, wav_decode)):
+        for _ in range(300):
+            b = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0:  # flip 1-8 random bytes
+                for _k in range(rng.randint(1, 8)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op == 1:  # truncate anywhere
+                b = b[: rng.randrange(len(b))]
+            else:  # splice a random chunk of noise
+                at = rng.randrange(len(b))
+                b[at:at] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 32)))
+            decode(bytes(b))  # any return is fine; raising is the failure
