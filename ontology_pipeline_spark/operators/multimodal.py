@@ -3,13 +3,15 @@
 Engine extension for training-data pipelines: image/audio/video travel as
 `binary` columns next to typed metadata (schemas.MEDIA).  The Spark-side
 plumbing — schema, partitioning, Arrow batch shape, UDF signatures — is real
-and tested, and so is the PNG pixel path: `png_decode` is a pure-stdlib
+and tested, and so are all three media pixel paths: `png_decode` is a pure-stdlib
 decoder (zlib inflate + per-scanline unfilter, all five PNG filter types,
 8-bit gray/gray-alpha/RGB/RGBA), feeding real `resize_images` (deterministic
-integer block-average pooling) and `image_channel_stats`.  JPEG entropy
-decode stays out of scope (header metadata only — see `image_dimensions`);
-undecodable payloads yield NULLs, never raise, so a corrupt shard cannot
-kill a 100 TB scan.
+integer block-average pooling) and `image_channel_stats`; `wav_decode` walks
+RIFF chunks to exact-integer PCM `audio_stats`; `y4m_decode` parses raw
+YUV4MPEG2 streams into per-frame planes for `video_stats` and real
+`sample_decoded_frames`.  JPEG entropy decode stays out of scope (header
+metadata only — see `image_dimensions`); undecodable payloads yield NULLs,
+never raise, so a corrupt shard cannot kill a 100 TB scan.
 
 Scale note: the decoder is pure Python by necessity of this container; the
 mapInPandas stages are narrow (binary bytes never leave the executor, one
@@ -255,10 +257,11 @@ def _decode_and_featurize(payload: bytes | None, kind: str, stub: bool) -> list[
                 or payload[4:8] == b"ftyp"
             ):
                 raise NotImplementedError(
-                    "real decode implemented for PNG pixels (here) and PCM "
-                    "WAV audio (audio_stats); other formats (JPEG entropy "
-                    "decode, compressed audio, video) need a codec library "
-                    "not present in this environment — plug a decoder in here"
+                    "real decode implemented for PNG pixels (here), PCM WAV "
+                    "audio (audio_stats) and Y4M video (video_stats); "
+                    "compressed formats (JPEG entropy decode, compressed "
+                    "audio/video) need a codec library not present in this "
+                    "environment — plug a decoder in here"
                 )
             return None
         w, h, ch, pix = decoded
@@ -459,6 +462,175 @@ def image_channel_stats(
         schema=(
             "media_id string, format string, width long, height long, "
             "channels long, mean_all double, mean_c0 double, resized_mean double"
+        ),
+    )
+
+
+def y4m_decode(
+    b: bytes, max_frame_bytes: int = 1 << 27
+) -> tuple[int, int, int, int, list[bytes]] | None:
+    """Pure-stdlib YUV4MPEG2 (Y4M) video decode: (width, height, fps_num,
+    fps_den, frames) where each frame is the concatenated full-resolution
+    Y+U+V planes (C444 colorspace — 3*w*h bytes per frame).  Y4M is a raw
+    uncompressed interchange format (the input/output format of the public
+    mjpegtools/ffmpeg toolchain), so the pixel path needs no codec library:
+    this decoder is real end-to-end, same discipline as `png_decode` /
+    `wav_decode`.  Returns None (never raises) for non-Y4M payloads,
+    unsupported colorspaces (420/422 subsampling needs no new math but is
+    out of generation scope — documented, not silently wrong), zero dims,
+    malformed/truncated frames, or frames larger than `max_frame_bytes`.
+
+    Reference parity: the reference pipeline has no media path at all
+    (serial LLM text extraction, /root/reference/src/pipeline.py); video
+    columns are part of this engine's training-data surface."""
+    nl = b.find(b"\n", 0, 512)
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        params = b[:nl].decode("ascii").split(" ")[1:]
+    except UnicodeDecodeError:
+        return None
+    w = h = fps_num = fps_den = None
+    cspace = "420jpeg"  # the Y4M spec default when no C tag is present
+    for p in params:
+        if not p:
+            continue
+        tag, val = p[0], p[1:]
+        try:
+            if tag == "W":
+                w = int(val)
+            elif tag == "H":
+                h = int(val)
+            elif tag == "F":
+                num_s, den_s = val.split(":")
+                fps_num, fps_den = int(num_s), int(den_s)
+            elif tag == "C":
+                cspace = val
+        except ValueError:
+            return None
+    if not w or not h or w < 0 or h < 0 or not fps_num or not fps_den:
+        return None
+    if cspace != "444":
+        return None
+    frame_size = 3 * w * h
+    if frame_size > max_frame_bytes:
+        return None
+    frames: list[bytes] = []
+    i = nl + 1
+    while i < len(b):
+        if b[i : i + 5] != b"FRAME":
+            return None
+        fnl = b.find(b"\n", i + 5, i + 5 + 512)
+        if fnl < 0:
+            return None
+        data = b[fnl + 1 : fnl + 1 + frame_size]
+        if len(data) < frame_size:
+            return None
+        frames.append(data)
+        i = fnl + 1 + frame_size
+    if not frames:
+        return None
+    return (w, h, fps_num, fps_den, frames)
+
+
+def video_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL video featurize for decodable Y4M streams, one narrow
+    Arrow-batched stage: width / height / fps_num / fps_den / n_frames /
+    duration_ms (exact integer floor of n_frames*1000*den/num) / y_mean
+    (mean of every Y-plane byte across all frames, round 6 on the exact
+    integer sum — bit-reproducible from the generation-side planes without
+    running this decoder).  Undecodable payloads yield NULL rows, never
+    raise — the corrupt-shard contract shared by every decoder here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "format", "width", "height", "fps_num", "fps_den",
+            "n_frames", "duration_ms", "y_mean",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                decoded = y4m_decode(bytes(payload)) if payload is not None else None
+                if decoded is None:
+                    rows.append((mid, None, None, None, None, None, None, None, None))
+                    continue
+                w, h, num, den, frames = decoded
+                n = len(frames)
+                ysum = sum(sum(f[: w * h]) for f in frames)
+                rows.append(
+                    (
+                        mid,
+                        "y4m",
+                        w,
+                        h,
+                        num,
+                        den,
+                        n,
+                        n * 1000 * den // num,
+                        round(ysum / (n * w * h), 6),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        run,
+        schema=(
+            "media_id string, format string, width long, height long, "
+            "fps_num long, fps_den long, n_frames long, duration_ms long, "
+            "y_mean double"
+        ),
+    )
+
+
+def sample_decoded_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    thumb: tuple[int, int] = (4, 4),
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL frame sampling: decode Y4M payloads and emit one row per sampled
+    frame — (media_id, frame_idx, frame_ts_ms, y_mean, thumb_mean) — taking
+    the frame at each timestamp 0, every_ms, 2*every_ms, ... < duration
+    (frame_idx = ts*fps_num // (1000*fps_den), exact integer arithmetic).
+    The per-frame thumbnail reuses `resize_pixels` on the Y plane as a
+    1-channel image, so the sampled-frame feature path shares the image
+    pipeline's block-average spec.  Undecodable payloads emit no rows (a
+    corrupt shard thins the sample, never kills the scan); the metadata-only
+    seam `sample_video_frames` remains for payloads with no real decoder."""
+    out_w, out_h = thumb
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "frame_ts_ms", "y_mean", "thumb_mean"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                decoded = y4m_decode(bytes(payload)) if payload is not None else None
+                if decoded is None:
+                    continue
+                w, h, num, den, frames = decoded
+                duration_ms = len(frames) * 1000 * den // num
+                for ts in range(0, duration_ms, every_ms):
+                    idx = ts * num // (1000 * den)
+                    if idx >= len(frames):
+                        break
+                    y = frames[idx][: w * h]
+                    rp = resize_pixels(y, w, h, 1, out_w, out_h)
+                    rows.append(
+                        (
+                            mid,
+                            idx,
+                            ts,
+                            round(sum(y) / (w * h), 6),
+                            round(sum(rp) / (out_w * out_h), 6),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        run,
+        schema=(
+            "media_id string, frame_idx long, frame_ts_ms long, "
+            "y_mean double, thumb_mean double"
         ),
     )
 

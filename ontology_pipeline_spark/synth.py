@@ -378,6 +378,49 @@ def wav_encode(sample_rate: int, channels: int, samples: list[int]) -> bytes:
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+def y4m_encode(
+    w: int, h: int, fps_num: int, fps_den: int, frames: list[bytes]
+) -> bytes:
+    """Pure-stdlib YUV4MPEG2 (Y4M) writer, C444 colorspace: the plain-text
+    stream header, then `FRAME\\n` + the three full-resolution planes
+    (Y, U, V — each w*h bytes) per frame.  Independent of the operator-side
+    decoder on purpose (same discipline as `png_encode`/`wav_encode`)."""
+    header = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C444\n".encode("ascii")
+    for f in frames:
+        assert len(f) == 3 * w * h
+    return header + b"".join(b"FRAME\n" + f for f in frames)
+
+
+VIDEO_MOTIONS = ["pan", "blink", "noise"]
+
+
+def generate_video_frames(
+    i: int, rng: random.Random
+) -> tuple[int, int, int, int, list[bytes]]:
+    """Deterministic C444 plane content for video row i: (width, height,
+    fps_num, fps_den, frames) with integer-exact byte values, so replay-side
+    frame stats are computed from these arrays without running the decoder."""
+    w, h = rng.randint(6, 16), rng.randint(6, 16)
+    fps_num, fps_den = [(25, 1), (30, 1), (24, 1)][i % 3]
+    n_frames = rng.randint(5, 24)
+    motion = VIDEO_MOTIONS[i % len(VIDEO_MOTIONS)]
+    frames: list[bytes] = []
+    for f in range(n_frames):
+        planes = bytearray()
+        for plane in range(3):
+            for y in range(h):
+                for x in range(w):
+                    if motion == "pan":
+                        v = (x * 255 // max(w - 1, 1) + 11 * f + 23 * plane + 3 * y) % 256
+                    elif motion == "blink":
+                        v = 240 if (f + plane) % 2 == 0 else 16
+                    else:
+                        v = rng.randrange(256)
+                    planes.append(v)
+        frames.append(bytes(planes))
+    return w, h, fps_num, fps_den, frames
+
+
 AUDIO_WAVEFORMS = ["triangle", "square", "noise"]
 
 
@@ -415,15 +458,20 @@ class MediaCorpus:
     pixels: dict[str, tuple[int, int, int, bytes]] = field(default_factory=dict)
     # media_id -> (sample_rate, channels, interleaved int16 samples) for audio
     waveforms: dict[str, tuple[int, int, list[int]]] = field(default_factory=dict)
+    # media_id -> (width, height, fps_num, fps_den, C444 frames) for video
+    videos: dict[str, tuple[int, int, int, int, list[bytes]]] = field(default_factory=dict)
 
 
-def generate_media_corpus(n_images: int = 48, seed: int = 11, n_audio: int = 9) -> MediaCorpus:
+def generate_media_corpus(
+    n_images: int = 48, seed: int = 11, n_audio: int = 9, n_video: int = 6
+) -> MediaCorpus:
     """Seeded media table: PNGs of varied size (5-24 px, deliberately NOT
     multiples of the thumbnail dims so resize bins are uneven), channel
     layout cycling gray/RGB/RGBA/gray-alpha, per-row filter types cycling
-    0-4, three content labels — plus negative rows (garbage 'image' bytes,
-    audio, video, NULL payload) so the decode path's never-raise contract is
-    exercised in every query run."""
+    0-4, three content labels; PCM WAV audio rows; Y4M C444 video rows —
+    plus negative rows (garbage 'image' bytes, fake audio/video containers,
+    NULL payload) so the decode paths' never-raise contract is exercised in
+    every query run."""
     rng = random.Random(seed)
     rows: list[tuple] = []
     pixels: dict[str, tuple[int, int, int, bytes]] = {}
@@ -463,12 +511,31 @@ def generate_media_corpus(n_images: int = 48, seed: int = 11, n_audio: int = 9) 
             )
         )
         waveforms[mid] = (rate, ch, samples)
+    # videos draw from `rng` AFTER images and audio: appending a media kind
+    # at the end of the stream keeps the pixel/waveform goldens bit-identical
+    videos: dict[str, tuple[int, int, int, int, list[bytes]]] = {}
+    for i in range(n_video):
+        w, h, num, den, frames = generate_video_frames(i, rng)
+        mid = f"y4m{i:03d}"
+        rows.append(
+            (
+                mid,
+                "video",
+                y4m_encode(w, h, num, den, frames),
+                "video/x-yuv4mpeg",
+                w,
+                h,
+                len(frames) * 1000 * den // num,
+                VIDEO_MOTIONS[i % len(VIDEO_MOTIONS)],
+            )
+        )
+        videos[mid] = (w, h, num, den, frames)
     rows.append(("bad000", "image", b"not a png at all", "image/png", None, None, None, "garbage"))
     rows.append(("bad001", "image", _PNG_SIG + b"\x00\x00truncated", "image/png", None, None, None, "garbage"))
     rows.append(("aud000", "audio", b"RIFF fake wave bytes", "audio/wav", None, None, 2500, "audio"))
     rows.append(("vid000", "video", b"\x00\x00ftyp fake", "video/mp4", 640, 480, 3500, "video"))
     rows.append(("nul000", "image", None, "image/png", None, None, None, "null"))
-    return MediaCorpus(rows=rows, pixels=pixels, waveforms=waveforms)
+    return MediaCorpus(rows=rows, pixels=pixels, waveforms=waveforms, videos=videos)
 
 
 def distributed_media(spark, n_media: int, seed: int = 19, partitions: int | None = None):

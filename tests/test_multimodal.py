@@ -306,6 +306,94 @@ def test_distributed_media_deterministic_and_decodable(spark):
     assert len(stats) == 40 and all(r["format"] == "png" for r in stats)
 
 
+def test_y4m_decode_roundtrips_generation_frames():
+    """Video path is REAL: the pure-stdlib Y4M decoder recovers the exact
+    generation-side planes (all three motion patterns, varied dims/fps)
+    from the independent encoder's bytes."""
+    from ontology_pipeline_spark.operators.multimodal import y4m_decode
+    from ontology_pipeline_spark.synth import generate_media_corpus
+
+    c = generate_media_corpus(n_images=2, n_audio=1, n_video=6)
+    payloads = {r[0]: r[2] for r in c.rows}
+    assert len(c.videos) == 6
+    for mid, (w, h, num, den, frames) in c.videos.items():
+        assert y4m_decode(payloads[mid]) == (w, h, num, den, frames), mid
+
+
+def test_y4m_decode_rejects_garbage_and_unsupported():
+    from ontology_pipeline_spark.operators.multimodal import y4m_decode
+    from ontology_pipeline_spark.synth import y4m_encode
+
+    good = y4m_encode(4, 3, 25, 1, [bytes(range(36)), bytes(36)])
+    assert y4m_decode(good) is not None
+    assert y4m_decode(b"not a video") is None
+    assert y4m_decode(b"") is None
+    # 4:2:0 subsampling (the Y4M default) is documented out of scope -> None
+    c420 = good.replace(b"C444", b"C420jpeg")
+    assert y4m_decode(c420) is None
+    # no C tag at all -> spec default 420jpeg -> None, not silently wrong
+    assert y4m_decode(good.replace(b" C444", b"")) is None
+    # truncated mid-frame / bad frame marker / zero dims / zero fps
+    assert y4m_decode(good[:-5]) is None
+    assert y4m_decode(good.replace(b"FRAME", b"FRUME", 1)) is None
+    assert y4m_decode(y4m_encode(0, 3, 25, 1, [])) is None
+    assert y4m_decode(good.replace(b"F25:1", b"F0:1")) is None
+    # header-only stream (no frames) -> None
+    assert y4m_decode(b"YUV4MPEG2 W4 H3 F25:1 Ip A1:1 C444\n") is None
+    # declared frame size past the bound -> None before touching frame bytes
+    huge = b"YUV4MPEG2 W100000 H100000 F25:1 C444\nFRAME\n"
+    assert y4m_decode(huge) is None
+
+
+def test_video_stats_matches_generation_frames(spark):
+    from ontology_pipeline_spark.operators.multimodal import video_stats
+    from ontology_pipeline_spark.synth import generate_media_corpus, media_df
+
+    corpus = generate_media_corpus(n_images=3, n_audio=2, n_video=6)
+    out = {r["media_id"]: r for r in video_stats(media_df(spark, corpus)).collect()}
+    for mid, (w, h, num, den, frames) in corpus.videos.items():
+        r = out[mid]
+        n = len(frames)
+        assert (r["format"], r["width"], r["height"]) == ("y4m", w, h)
+        assert (r["fps_num"], r["fps_den"], r["n_frames"]) == (num, den, n)
+        assert r["duration_ms"] == n * 1000 * den // num
+        ysum = sum(sum(f[: w * h]) for f in frames)
+        assert r["y_mean"] == round(ysum / (n * w * h), 6)
+    # images / fake-mp4 / garbage / null payloads flow through as NULL rows
+    for neg in ("img000", "vid000", "bad000", "nul000", "wav000"):
+        assert out[neg]["format"] is None, neg
+
+
+def test_sample_decoded_frames_real(spark):
+    """Sampled frames carry REAL per-frame luma stats: every emitted row's
+    y_mean/thumb_mean matches a recomputation from the generation-side
+    planes, frame_idx is the exact integer ts->frame mapping, and corrupt
+    video payloads emit no rows (never raise)."""
+    from ontology_pipeline_spark.operators.multimodal import (
+        sample_decoded_frames,
+    )
+    from ontology_pipeline_spark.synth import generate_media_corpus, media_df
+
+    corpus = generate_media_corpus(n_images=2, n_audio=1, n_video=6)
+    rows = sample_decoded_frames(media_df(spark, corpus), every_ms=250).collect()
+    by_id: dict[str, list] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == set(corpus.videos)  # negatives emit nothing
+    for mid, (w, h, num, den, frames) in corpus.videos.items():
+        duration_ms = len(frames) * 1000 * den // num
+        expected_ts = [ts for ts in range(0, duration_ms, 250) if ts * num // (1000 * den) < len(frames)]
+        got = sorted(by_id[mid], key=lambda r: r["frame_ts_ms"])
+        assert [r["frame_ts_ms"] for r in got] == expected_ts
+        for r in got:
+            idx = r["frame_ts_ms"] * num // (1000 * den)
+            assert r["frame_idx"] == idx
+            y = frames[idx][: w * h]
+            assert r["y_mean"] == round(sum(y) / (w * h), 6)
+            rp = resize_pixels(y, w, h, 1, 4, 4)
+            assert r["thumb_mean"] == round(sum(rp) / 16, 6)
+
+
 def test_decoders_never_raise_on_seeded_mutations():
     """Durable form of the round-3 review fuzz: hundreds of seeded byte
     flips, truncations, and splices over valid PNG/WAV payloads — the
@@ -313,16 +401,31 @@ def test_decoders_never_raise_on_seeded_mutations():
     corrupt-shard contract)."""
     import random
 
-    from ontology_pipeline_spark.operators.multimodal import png_decode, wav_decode
-    from ontology_pipeline_spark.synth import generate_audio_samples, wav_encode
+    from ontology_pipeline_spark.operators.multimodal import (
+        png_decode,
+        wav_decode,
+        y4m_decode,
+    )
+    from ontology_pipeline_spark.synth import (
+        generate_audio_samples,
+        generate_video_frames,
+        wav_encode,
+        y4m_encode,
+    )
 
     rng = random.Random(1234)
     pix = bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(16) for x in range(12) for c in range(3))
     base_png = png_encode(12, 16, 3, pix, filters=[0, 1, 2, 3, 4])
     rate, ch, samples = generate_audio_samples(0, rng)
     base_wav = wav_encode(rate, ch, samples)
+    vw, vh, vnum, vden, vframes = generate_video_frames(0, rng)
+    base_y4m = y4m_encode(vw, vh, vnum, vden, vframes)
 
-    for base, decode in ((base_png, png_decode), (base_wav, wav_decode)):
+    for base, decode in (
+        (base_png, png_decode),
+        (base_wav, wav_decode),
+        (base_y4m, y4m_decode),
+    ):
         for _ in range(300):
             b = bytearray(base)
             op = rng.randrange(3)
