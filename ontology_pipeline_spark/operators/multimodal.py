@@ -470,15 +470,17 @@ def y4m_decode(
     b: bytes, max_frame_bytes: int = 1 << 27
 ) -> tuple[int, int, int, int, list[bytes]] | None:
     """Pure-stdlib YUV4MPEG2 (Y4M) video decode: (width, height, fps_num,
-    fps_den, frames) where each frame is the concatenated full-resolution
-    Y+U+V planes (C444 colorspace — 3*w*h bytes per frame).  Y4M is a raw
-    uncompressed interchange format (the input/output format of the public
-    mjpegtools/ffmpeg toolchain), so the pixel path needs no codec library:
-    this decoder is real end-to-end, same discipline as `png_decode` /
-    `wav_decode`.  Returns None (never raises) for non-Y4M payloads,
-    unsupported colorspaces (420/422 subsampling needs no new math but is
-    out of generation scope — documented, not silently wrong), zero dims,
-    malformed/truncated frames, or frames larger than `max_frame_bytes`.
+    fps_den, frames) where each frame is the raw concatenated Y+U+V planes.
+    Y4M is a raw uncompressed interchange format (the input/output format of
+    the public mjpegtools/ffmpeg toolchain), so the pixel path needs no
+    codec library: this decoder is real end-to-end, same discipline as
+    `png_decode` / `wav_decode`.  Colorspaces: C444 (3*w*h bytes/frame,
+    what `synth.y4m_encode` writes), C422, and the real-world-default C420
+    family (420jpeg/420mpeg2/420paldv) — in every layout the FULL-RES Y
+    plane leads the frame (first w*h bytes), which is all the downstream
+    luma stats read.  Returns None (never raises) for non-Y4M payloads,
+    other colorspaces (e.g. 444alpha, mono), zero dims, malformed/truncated
+    frames, or frames larger than `max_frame_bytes`.
 
     Reference parity: the reference pipeline has no media path at all
     (serial LLM text extraction, /root/reference/src/pipeline.py); video
@@ -510,9 +512,15 @@ def y4m_decode(
             return None
     if not w or not h or w < 0 or h < 0 or not fps_num or not fps_den:
         return None
-    if cspace != "444":
+    if cspace == "444":
+        chroma = 2 * w * h
+    elif cspace == "422":
+        chroma = 2 * ((w + 1) // 2) * h
+    elif cspace.startswith("420"):  # 420jpeg / 420mpeg2 / 420paldv
+        chroma = 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    else:
         return None
-    frame_size = 3 * w * h
+    frame_size = w * h + chroma
     if frame_size > max_frame_bytes:
         return None
     frames: list[bytes] = []

@@ -328,11 +328,22 @@ def test_y4m_decode_rejects_garbage_and_unsupported():
     assert y4m_decode(good) is not None
     assert y4m_decode(b"not a video") is None
     assert y4m_decode(b"") is None
-    # 4:2:0 subsampling (the Y4M default) is documented out of scope -> None
-    c420 = good.replace(b"C444", b"C420jpeg")
-    assert y4m_decode(c420) is None
-    # no C tag at all -> spec default 420jpeg -> None, not silently wrong
-    assert y4m_decode(good.replace(b" C444", b"")) is None
+    # 4:2:0 subsampling (the real-world default) IS supported: full-res Y
+    # plane leads the frame, chroma planes are ceil(w/2)*ceil(h/2) each
+    y = bytes(range(12))
+    c420_frame = y + bytes(4) + bytes(4)  # 4x3: Y=12, U=V=2x2
+    c420 = b"YUV4MPEG2 W4 H3 F25:1 Ip A1:1 C420jpeg\n" + b"FRAME\n" + c420_frame
+    got = y4m_decode(c420)
+    assert got is not None and got[4][0][:12] == y
+    # no C tag at all -> spec default 420jpeg, same frame layout
+    no_tag = b"YUV4MPEG2 W4 H3 F25:1\n" + b"FRAME\n" + c420_frame
+    assert y4m_decode(no_tag) == (4, 3, 25, 1, [c420_frame])
+    # 4:2:2: chroma planes are ceil(w/2)*h each
+    c422 = b"YUV4MPEG2 W4 H3 F25:1 C422\n" + b"FRAME\n" + y + bytes(6) + bytes(6)
+    assert y4m_decode(c422) is not None
+    # colorspaces outside the 444/422/420 families stay out of scope -> None
+    assert y4m_decode(good.replace(b"C444", b"C444alpha")) is None
+    assert y4m_decode(good.replace(b"C444", b"Cmono")) is None
     # truncated mid-frame / bad frame marker / zero dims / zero fps
     assert y4m_decode(good[:-5]) is None
     assert y4m_decode(good.replace(b"FRAME", b"FRUME", 1)) is None
