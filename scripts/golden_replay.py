@@ -469,16 +469,24 @@ def replay_ivf_topk(vecs, query_vec, k=10, n_centroids=16, n_probe=4):
 
 
 # ----------------------------------------------------------- multimodal
-def replay_multimodal_stats(out_w=4, out_h=4):
-    """Replay of the multimodal_image_stats query from the GENERATION-side
-    pixel arrays (synth.MediaCorpus.pixels — known by construction, the
-    decoder never runs here).  The block-average is re-implemented
-    independently of operators.multimodal.resize_pixels; all sums are exact
-    integers, so round() is bit-identical across implementations."""
+def replay_media_stats(out_w=4, out_h=4):
+    """Replay of the multimodal_media_stats query from the GENERATION-side
+    arrays (synth.MediaCorpus.{pixels,waveforms,videos} — known by
+    construction; none of the decoders run here).  The block-average is
+    re-implemented independently of operators.multimodal.resize_pixels;
+    pixel/sample/plane sums are exact integers, and the audio rms uses the
+    identical float op order as the operator (sqrt of int-sum / int, then
+    round 6), so every value is bit-identical across implementations.
+    Wide NULL-able schema: one row per decodable media, NULL for the
+    columns its kind doesn't have."""
+    import math
+
     from ontology_pipeline_spark.synth import generate_media_corpus
 
     c = generate_media_corpus(n_images=48, seed=11)
+    kind_by_id = {r[0]: r[1] for r in c.rows}
     label_by_id = {r[0]: r[7] for r in c.rows}
+    N = None
     out = []
     for mid in sorted(c.pixels):
         w, h, ch, pix = c.pixels[mid]
@@ -501,7 +509,27 @@ def replay_multimodal_stats(out_w=4, out_h=4):
                     rsum += s // cnt
         resized_mean = round(rsum / (out_w * out_h * ch), 6)
         out.append(
-            (mid, label_by_id[mid], "png", w, h, ch, mean_all, mean_c0, resized_mean)
+            (mid, kind_by_id[mid], label_by_id[mid], "png", w, h, ch,
+             N, N, N, mean_all, mean_c0, resized_mean, N, N, N)
+        )
+    for mid in sorted(c.waveforms):
+        rate, ch, samples = c.waveforms[mid]
+        n = len(samples)
+        n_frames = n // ch
+        out.append(
+            (mid, kind_by_id[mid], label_by_id[mid], "wav", N, N, ch,
+             rate, n_frames, n_frames * 1000 // rate, N, N, N,
+             max((abs(s) for s in samples), default=0),
+             round(math.sqrt(sum(s * s for s in samples) / n), 6), N)
+        )
+    for mid in sorted(c.videos):
+        w, h, num, den, frames = c.videos[mid]
+        nf = len(frames)
+        ysum = sum(sum(f[: w * h]) for f in frames)
+        out.append(
+            (mid, kind_by_id[mid], label_by_id[mid], "y4m", w, h, N,
+             N, nf, nf * 1000 * den // num, N, N, N, N, N,
+             round(ysum / (nf * w * h), 6))
         )
     return out
 
@@ -513,6 +541,10 @@ def _sql_values(rows, decls: str) -> str:
 
 
 def _lit(v) -> str:
+    if v is None:
+        # bare NULL: DuckDB infers each VALUES column's type from the
+        # typed CASTs the non-null rows in that column carry
+        return "NULL"
     if isinstance(v, float):
         return f"CAST({v!r} AS DOUBLE)"
     if isinstance(v, int):
@@ -558,13 +590,15 @@ def main() -> None:
         f"ivf: {len(ivf)}, cluster rows: {len(clusters)}"
     )
 
-    mm = replay_multimodal_stats()
+    mm = replay_media_stats()
     print(f"multimodal stat rows: {len(mm)}")
 
     gen = {
-        "multimodal_image_stats": _sql_values(
+        "multimodal_media_stats": _sql_values(
             mm,
-            "media_id, label, format, width, height, channels, mean_all, mean_c0, resized_mean",
+            "media_id, kind, label, format, width, height, channels, "
+            "sample_rate, n_frames, duration_ms, mean_all, mean_c0, "
+            "resized_mean, peak, rms, y_mean",
         ),
         "minhash_near_dups": _sql_values(mh, "id_a, id_b, est_jaccard"),
         "simhash_bucket_groups": _sql_values(sh, "bucket, n_docs"),

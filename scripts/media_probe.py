@@ -4,7 +4,7 @@ The same two-parallelism-level evidence pattern as bench_scaling.py, applied
 to the round-3 decode path: generate a PNG corpus ON THE EXECUTORS
 (synth.distributed_media), write it to parquet once, then time the full
 decode -> resize -> stats chain (operators.multimodal.image_channel_stats,
-the multimodal_image_stats query shape) at local[8] and local[32] in
+the multimodal_media_stats query's image branch) at local[8] and local[32] in
 separate subprocesses (a JVM cannot change masters).  Reports images/s and
 payload MB/s at both levels plus scaling efficiency.
 
