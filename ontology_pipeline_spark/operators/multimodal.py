@@ -20,9 +20,10 @@ pass, no shuffle), so a real deployment swaps `png_decode` for a C codec
 
 * `extract_media_features(stub=True)` (default) computes deterministic fake
   features (byte-histogram moments) for any payload kind;
-* `stub=False` computes REAL pixel features for decodable PNGs and raises
-  NotImplementedError at the codec seam for other formats — exactly where a
-  full decoder plugs in.
+* `stub=False` computes REAL features dispatched on the container — PNG
+  pixel stats, PCM WAV sample stats, Y4M plane stats — and raises
+  NotImplementedError only for compressed containers (JPEG SOI, ISO-BMFF)
+  at the codec seam, exactly where a full decoder plugs in.
 """
 
 from __future__ import annotations
@@ -244,33 +245,60 @@ def _decode_and_featurize(payload: bytes | None, kind: str, stub: bool) -> list[
     if payload is None:
         return None
     if not stub:
+        # real features, dispatched on the container each decoder recognizes
         decoded = png_decode(payload)
-        if decoded is None:
-            # corrupt-vs-unsupported distinction (the never-raise contract):
-            # a recognizable container that needs a real codec (JPEG SOI,
-            # RIFF audio, ISO-BMFF video) raises at this documented seam;
-            # anything else — corrupt PNG, truncated stream, garbage bytes —
-            # yields a NULL feature so one bad shard cannot kill the scan
-            if (
-                payload[:2] == b"\xff\xd8"
-                or payload[:4] == b"RIFF"
-                or payload[4:8] == b"ftyp"
-            ):
-                raise NotImplementedError(
-                    "real decode implemented for PNG pixels (here), PCM WAV "
-                    "audio (audio_stats) and Y4M video (video_stats); "
-                    "compressed formats (JPEG entropy decode, compressed "
-                    "audio/video) need a codec library not present in this "
-                    "environment — plug a decoder in here"
-                )
-            return None
-        w, h, ch, pix = decoded
-        n = w * h
-        means = [0.0] * 4
-        for c in range(ch):
-            means[c] = round(sum(pix[c::ch]) / n, 6)
-        mean_all = round(sum(pix) / (n * ch), 6)
-        return [float(w), float(h), float(ch), mean_all, *means]
+        if decoded is not None:
+            w, h, ch, pix = decoded
+            n = w * h
+            means = [0.0] * 4
+            for c in range(ch):
+                means[c] = round(sum(pix[c::ch]) / n, 6)
+            mean_all = round(sum(pix) / (n * ch), 6)
+            return [float(w), float(h), float(ch), mean_all, *means]
+        if payload[:4] == b"RIFF":
+            wav = wav_decode(payload)
+            if wav is None:  # corrupt RIFF -> NULL row, never a dead scan
+                return None
+            import math
+
+            rate, ch, n_frames, samples = wav
+            n = len(samples)
+            return [
+                float(rate),
+                float(ch),
+                float(n_frames),
+                float(n_frames * 1000 // rate),
+                float(max((abs(s) for s in samples), default=0)),
+                round(math.sqrt(sum(s * s for s in samples) / n), 6) if n else 0.0,
+            ]
+        if payload[:9] == b"YUV4MPEG2":
+            vid = y4m_decode(payload)
+            if vid is None:
+                return None
+            w, h, num, den, frames = vid
+            nf = len(frames)
+            ysum = sum(sum(f[: w * h]) for f in frames)
+            return [
+                float(w),
+                float(h),
+                float(nf),
+                float(nf * 1000 * den // num),
+                round(ysum / (nf * w * h), 6),
+            ]
+        # corrupt-vs-unsupported distinction (the never-raise contract): a
+        # recognizable container that needs a real codec (JPEG SOI, ISO-BMFF
+        # video) raises at this documented seam; anything else — corrupt
+        # stream, garbage bytes — yields a NULL feature so one bad shard
+        # cannot kill the scan
+        if payload[:2] == b"\xff\xd8" or payload[4:8] == b"ftyp":
+            raise NotImplementedError(
+                "real decode implemented for PNG pixels, PCM WAV audio and "
+                "Y4M video (dispatched above); compressed formats (JPEG "
+                "entropy decode, compressed audio/video) need a codec "
+                "library not present in this environment — plug a decoder "
+                "in here"
+            )
+        return None
     # deterministic fake feature: byte-histogram moments (stands in for an
     # image embedding / audio fingerprint; stable across runs and engines)
     n = len(payload)

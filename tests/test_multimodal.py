@@ -92,21 +92,43 @@ def test_resize_images_real_and_null_safe(spark):
 
 
 def test_real_features_for_png_stub_seam_for_other_formats(spark):
-    """stub=False computes real pixel features for decodable PNGs and raises
-    at the documented codec seam for other formats."""
-    corpus = generate_media_corpus(n_images=4, seed=11)
-    png_only = media_df(spark, corpus).filter("label <> 'garbage' AND kind = 'image' AND payload IS NOT NULL")
+    """stub=False computes real features for every decodable container —
+    PNG pixels, PCM WAV samples, Y4M planes — and raises only at the
+    documented codec seam (compressed formats: JPEG SOI, ISO-BMFF)."""
+    import math
+
+    corpus = generate_media_corpus(n_images=4, seed=11, n_audio=2, n_video=2)
+    decodable = media_df(spark, corpus).filter("label <> 'garbage' AND media_id NOT IN ('aud000', 'vid000') AND payload IS NOT NULL")
     feats = {
         r["media_id"]: r["feature"]
-        for r in extract_media_features(png_only, stub=False).collect()
+        for r in extract_media_features(decodable, stub=False).collect()
     }
     for mid, (w, h, ch, pix) in corpus.pixels.items():
         f = feats[mid]
         assert f[:3] == [float(w), float(h), float(ch)]
         assert f[3] == round(sum(pix) / (w * h * ch), 6)
+    for mid, (rate, ch, samples) in corpus.waveforms.items():
+        f = feats[mid]
+        n = len(samples)
+        assert f[:3] == [float(rate), float(ch), float(n // ch)]
+        assert f[5] == round(math.sqrt(sum(s * s for s in samples) / n), 6)
+    for mid, (w, h, num, den, frames) in corpus.videos.items():
+        f = feats[mid]
+        assert f[:3] == [float(w), float(h), float(len(frames))]
+    # a REAL compressed container still raises at the codec seam
+    mp4 = spark.createDataFrame(
+        [("v1", "video", b"\x00\x00\x00\x18ftypmp42 more bytes")],
+        "media_id string, kind string, payload binary",
+    )
     with pytest.raises(Exception) as ei:
-        extract_media_features(_media(spark), stub=False).collect()
+        extract_media_features(mp4, stub=False).collect()
     assert "NotImplementedError" in str(ei.value) or "decoder" in str(ei.value)
+    # corrupt RIFF (unparseable WAV) is NULL now, not a raise
+    out = {
+        r["media_id"]: r["feature"]
+        for r in extract_media_features(_media(spark), stub=False).collect()
+    }
+    assert out["m2"] is None  # "RIFF fake wave" -> corrupt -> NULL
 
 
 def test_image_channel_stats_matches_generation_pixels(spark):
