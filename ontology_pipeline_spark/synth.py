@@ -538,14 +538,23 @@ def generate_media_corpus(
     return MediaCorpus(rows=rows, pixels=pixels, waveforms=waveforms, videos=videos)
 
 
-def distributed_media(spark, n_media: int, seed: int = 19, partitions: int | None = None):
+def distributed_media(
+    spark,
+    n_media: int,
+    seed: int = 19,
+    partitions: int | None = None,
+    kinds: tuple[str, ...] = ("image",),
+):
     """Media generated ON THE EXECUTORS — per-id seeded RNG inside
     mapInPandas (the multimodal analog of `distributed_pages`): the driver
     never holds a payload, so corpus size is bounded by cluster storage,
     not driver RAM.  Content distribution matches `generate_media_corpus`'s
-    image rows (labels x channel layouts x 5-24 px sizes x filter cycling);
-    the RNG stream differs (per-id seed vs one sequential stream), so
-    per-corpus goldens apply per generator, same caveat as pages."""
+    rows per kind (image: labels x channel layouts x 5-24 px sizes x filter
+    cycling; audio: `generate_audio_samples`; video:
+    `generate_video_frames`); the RNG stream differs (per-id seed vs one
+    sequential stream), so per-corpus goldens apply per generator, same
+    caveat as pages.  `kinds` cycles by row id — default image-only
+    preserves the original corpus byte-for-byte."""
     from typing import Iterator
 
     import pandas as pd
@@ -560,6 +569,37 @@ def distributed_media(spark, n_media: int, seed: int = 19, partitions: int | Non
             for i in pdf["id"]:
                 i = int(i)
                 rng = random.Random(seed * 1_000_003 + i)
+                kind = kinds[i % len(kinds)]
+                if kind == "audio":
+                    rate, ch, samples = generate_audio_samples(i, rng)
+                    rows.append(
+                        (
+                            f"wav{i:09d}",
+                            "audio",
+                            wav_encode(rate, ch, samples),
+                            "audio/wav",
+                            None,
+                            None,
+                            (len(samples) // ch) * 1000 // rate,
+                            AUDIO_WAVEFORMS[i % len(AUDIO_WAVEFORMS)],
+                        )
+                    )
+                    continue
+                if kind == "video":
+                    w, h, num, den, frames = generate_video_frames(i, rng)
+                    rows.append(
+                        (
+                            f"y4m{i:09d}",
+                            "video",
+                            y4m_encode(w, h, num, den, frames),
+                            "video/x-yuv4mpeg",
+                            w,
+                            h,
+                            len(frames) * 1000 * den // num,
+                            VIDEO_MOTIONS[i % len(VIDEO_MOTIONS)],
+                        )
+                    )
+                    continue
                 label = MEDIA_LABELS[i % len(MEDIA_LABELS)]
                 ch = [1, 3, 4, 2][i % 4]
                 w, h = rng.randint(5, 24), rng.randint(5, 24)

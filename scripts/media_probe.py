@@ -1,16 +1,19 @@
 """Multimodal decode throughput + scaling probe -> BENCH/multimodal_decode.md.
 
 The same two-parallelism-level evidence pattern as bench_scaling.py, applied
-to the round-3 decode path: generate a PNG corpus ON THE EXECUTORS
-(synth.distributed_media), write it to parquet once, then time the full
-decode -> resize -> stats chain (operators.multimodal.image_channel_stats,
-the multimodal_media_stats query's image branch) at local[8] and local[32] in
-separate subprocesses (a JVM cannot change masters).  Reports images/s and
-payload MB/s at both levels plus scaling efficiency.
+to the real decode paths: generate a MIXED media corpus ON THE EXECUTORS
+(synth.distributed_media, kinds cycling image/audio/video), write it to
+parquet once, then time each decode chain over its kind-filtered subset —
+image: operators.multimodal.image_channel_stats (decode -> 4x4 thumbnail ->
+stats, the multimodal_media_stats query's image branch); audio: audio_stats
+(RIFF walk -> integer-exact PCM stats); video: video_stats (Y4M plane walk
+-> luma stats) — at local[8] and local[32] in separate subprocesses (a JVM
+cannot change masters).  Reports rows/s and payload MB/s per kind at both
+levels plus scaling efficiency.
 
 Usage:
-    python scripts/media_probe.py              # full probe, writes the md
-    python scripts/media_probe.py --worker 8   # one timed level (internal)
+    python scripts/media_probe.py                 # full probe, writes the md
+    python scripts/media_probe.py --worker 8      # one timed level (internal)
 """
 
 from __future__ import annotations
@@ -24,11 +27,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# 400k images: compute-dominated (60k was task-overhead-dominated at ~2 s wall)
-N_MEDIA = int(os.environ.get("SPARK_GRAFT_MEDIA_N", "400000"))
+# 3*133334 rows: ~400k images-equivalent compute at the image third; audio
+# and video decode are cheaper per row so their thirds stay sub-minute
+N_MEDIA = int(os.environ.get("SPARK_GRAFT_MEDIA_N", "400002"))
 SEED = 19
 RUNS = 3
-CORPUS = os.path.join(REPO, ".bench_data", f"media_v1_n{N_MEDIA}_s{SEED}")
+KINDS = ("image", "audio", "video")
+CORPUS = os.path.join(REPO, ".bench_data", f"media_v2_n{N_MEDIA}_s{SEED}")
 
 
 def ensure_corpus() -> None:
@@ -39,14 +44,18 @@ def ensure_corpus() -> None:
         return
     spark = get_spark(master="local[32]", app_name="media-gen", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    distributed_media(spark, N_MEDIA, SEED).write.mode("overwrite").parquet(CORPUS)
+    distributed_media(spark, N_MEDIA, SEED, kinds=KINDS).write.mode("overwrite").parquet(CORPUS)
     spark.stop()
 
 
 def worker(cores: int) -> None:
     from pyspark.sql import functions as F
 
-    from ontology_pipeline_spark.operators.multimodal import image_channel_stats
+    from ontology_pipeline_spark.operators.multimodal import (
+        audio_stats,
+        image_channel_stats,
+        video_stats,
+    )
     from ontology_pipeline_spark.session import get_spark
 
     spark = get_spark(
@@ -54,40 +63,83 @@ def worker(cores: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     media = spark.read.parquet(CORPUS)
-    n_bytes = media.agg(F.sum(F.length("payload"))).first()[0]
+    chains = {
+        "image": lambda df: image_channel_stats(df),
+        "audio": lambda df: audio_stats(df),
+        "video": lambda df: video_stats(df),
+    }
+    out = {"cores": cores, "kinds": {}}
+    for kind, chain in chains.items():
+        subset = media.filter(F.col("kind") == kind)
+        n_rows, n_bytes = subset.agg(
+            F.count("*"), F.sum(F.length("payload"))
+        ).first()
 
-    def once() -> tuple[float, int]:
-        t0 = time.perf_counter()
-        n = image_channel_stats(media).filter(F.col("format").isNotNull()).count()
-        return time.perf_counter() - t0, n
+        def once() -> tuple[float, int]:
+            t0 = time.perf_counter()
+            n = chain(subset).filter(F.col("format").isNotNull()).count()
+            return time.perf_counter() - t0, n
 
-    once()  # warm-up (codegen, Arrow workers)
-    times, n_ok = [], 0
-    for _ in range(RUNS):
-        sec, n_ok = once()
-        times.append(round(sec, 3))
-    best = min(times)
-    print(
-        json.dumps(
-            {
-                "cores": cores,
-                "n_media": N_MEDIA,
-                "decoded": n_ok,
-                "payload_mb": round(n_bytes / 1e6, 1),
-                "times": times,
-                "best_sec": best,
-                "images_per_sec": round(n_ok / best, 1),
-                "mb_per_sec": round(n_bytes / 1e6 / best, 1),
-            }
-        )
-    )
+        once()  # warm-up (codegen, Arrow workers)
+        times, n_ok = [], 0
+        for _ in range(RUNS):
+            sec, n_ok = once()
+            times.append(round(sec, 3))
+        best = min(times)
+        out["kinds"][kind] = {
+            "n_rows": n_rows,
+            "decoded": n_ok,
+            "payload_mb": round(n_bytes / 1e6, 1),
+            "times": times,
+            "best_sec": best,
+            "rows_per_sec": round(n_ok / best, 1),
+            "mb_per_sec": round(n_bytes / 1e6 / best, 1),
+        }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _hw_ceiling() -> tuple[float, float]:
+    """Raw CPU-bound multiprocessing scaling on this host (8 vs 32 procs),
+    best of 3 — the ceiling any Spark job can reach here (same probe as
+    bench_scaling.py; this VM does not deliver 4x CPU from 8 to 32)."""
+    from multiprocessing import Pool
+
+    out = []
+    for procs in (8, 32):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with Pool(procs) as p:
+                p.map(_burn, [2_000_000] * 96)
+            best = min(best, time.perf_counter() - t0)
+        out.append(best)
+    return out[0], out[1]
 
 
 def main() -> None:
     ensure_corpus()
-    results = {}
-    for cores in (8, 32):
+    # ALTERNATE the levels twice: this host's sustained-load throttling
+    # shifts between minutes-apart windows, so a single 8-then-32 sequence
+    # can time the two levels in different throttle states (observed:
+    # local[32] slower than local[8]).  Interleaving gives each level a
+    # sample of each window; per-kind best-of-all estimates capacity.
+    # A hw-ceiling burn BEFORE EACH VISIT records what the VM was actually
+    # granting around that measurement; the best ceiling across visits
+    # normalizes the job's raw efficiency (bench_scaling.py protocol).
+    results: dict[int, dict] = {}
+    ceilings = []
+    for cores in (8, 32, 8, 32):
+        hw8, hw32 = _hw_ceiling()
+        ceilings.append((hw8 / hw32) / 4)
+        print(f"hw ceiling sample before local[{cores}]: {ceilings[-1]:.3f}")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
             capture_output=True,
@@ -102,41 +154,74 @@ def main() -> None:
             sys.stderr.write(out.stderr)
             raise SystemExit(f"worker local[{cores}] produced no result line")
         line = json_lines[-1]
-        results[cores] = json.loads(line)
+        got = json.loads(line)
         print(line)
-        # the evidence file claims every image decoded — assert it, so a
+        # the evidence file claims every row decoded — assert it, so a
         # decoder regression can never write silently-wrong curated numbers
-        if results[cores]["decoded"] != N_MEDIA:
-            raise SystemExit(
-                f"decode shortfall at local[{cores}]: "
-                f"{results[cores]['decoded']}/{N_MEDIA} decoded"
-            )
-    r8, r32 = results[8], results[32]
-    eff = (r32["images_per_sec"] / r8["images_per_sec"]) / 4
-    print(f"eff(8->32)={eff:.3f}")
+        for kind, r in got["kinds"].items():
+            if r["decoded"] != r["n_rows"]:
+                raise SystemExit(
+                    f"decode shortfall at local[{cores}] {kind}: "
+                    f"{r['decoded']}/{r['n_rows']} decoded"
+                )
+        if cores not in results:
+            results[cores] = got
+        else:  # merge: keep each kind's best level-capacity estimate
+            for kind, r in got["kinds"].items():
+                prev = results[cores]["kinds"][kind]
+                prev["times"] = prev["times"] + r["times"]
+                if r["best_sec"] < prev["best_sec"]:
+                    prev.update(
+                        {k: r[k] for k in ("best_sec", "rows_per_sec", "mb_per_sec")}
+                    )
+    r8, r32 = results[8]["kinds"], results[32]["kinds"]
+    ceiling = max(ceilings)
+    effs = {
+        k: (r32[k]["rows_per_sec"] / r8[k]["rows_per_sec"]) / 4 for k in KINDS
+    }
+    for k, e in effs.items():
+        print(f"eff(8->32, {k})={e:.3f} raw, {e / ceiling:.3f} normalized")
+    print(f"hw ceiling (best of visits): {ceiling:.3f}, samples {ceilings}")
     md = os.path.join(REPO, "BENCH", "multimodal_decode.md")
+    rows_md = "".join(
+        f"| {k} | {r8[k]['n_rows']} | {r8[k]['payload_mb']} MB "
+        f"| {r8[k]['best_sec']} s | {r8[k]['rows_per_sec']} "
+        f"| {r32[k]['best_sec']} s | {r32[k]['rows_per_sec']} "
+        f"| {effs[k]:.3f} | {effs[k] / ceiling:.3f} |\n"
+        for k in KINDS
+    )
+    raw_md = "".join(
+        f"- {k}: local[8] {r8[k]['times']}, local[32] {r32[k]['times']}\n"
+        for k in KINDS
+    )
     with open(md, "w") as f:
         f.write(
-            "# BENCH/multimodal_decode — PNG decode->resize->stats throughput (round 3)\n\n"
+            "# BENCH/multimodal_decode — decode->stats throughput, all three media kinds (round 3)\n\n"
             "Same two-parallelism-level protocol as the KG scaling evidence, applied\n"
-            "to the real decode path: executor-generated PNG corpus (`synth.\n"
-            "distributed_media`, driver holds nothing), parquet-cached, then the\n"
-            "full `image_channel_stats` chain (pure-stdlib decode, all 5 filters,\n"
-            "integer 4x4 block-average thumbnail, channel means) timed per level in\n"
-            f"its own subprocess; best of {RUNS} after one warm-up run.\n\n"
-            f"Corpus: {N_MEDIA} PNGs ({r8['payload_mb']} MB payloads; gray/GA/RGB/RGBA,\n"
-            "5-24 px, filters cycling 0-4), every image decoded (format non-null).\n\n"
-            "| run | master | best wall | images/s | payload MB/s |\n"
-            "|---|---|---|---|---|\n"
-            f"| N | `local[8]` | {r8['best_sec']} s | {r8['images_per_sec']} | {r8['mb_per_sec']} |\n"
-            f"| 4N | `local[32]` | {r32['best_sec']} s | {r32['images_per_sec']} | {r32['mb_per_sec']} |\n\n"
-            f"Scaling efficiency (images/s, 8->32): **{eff:.3f}** raw on a host whose\n"
-            "pure-CPU 8->32 ceiling is ~0.64 (see BENCH/BASELINE.md hardware note).\n"
-            "The stage is a narrow mapInPandas with no shuffle: per-split decode is\n"
-            "embarrassingly parallel, so throughput tracks whatever CPU the VM\n"
-            "grants — on a real cluster it scales with executors, and the decoder\n"
-            "swaps to a C codec (libvips/Pillow-SIMD) without touching the plan.\n\n"
-            f"Raw timings (s): local[8] {r8['times']}, local[32] {r32['times']}\n"
+            "to every real decode path: executor-generated mixed corpus (`synth.\n"
+            "distributed_media`, kinds cycling image/audio/video, driver holds\n"
+            "nothing), parquet-cached, then each chain — `image_channel_stats`\n"
+            "(pure-stdlib PNG decode, all 5 filters, integer 4x4 block-average\n"
+            "thumbnail), `audio_stats` (RIFF walk, integer-exact PCM stats),\n"
+            "`video_stats` (Y4M plane walk, luma stats) — timed over its\n"
+            f"kind-filtered subset per level in its own subprocess; best of {RUNS}\n"
+            "after one warm-up run.  Every row decoded (asserted), so the numbers\n"
+            "measure the real-work path, never the NULL fast path.\n\n"
+            "| kind | rows | payload | local[8] best | rows/s | local[32] best | rows/s | eff raw | eff normalized |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
+            + rows_md
+            + f"\nNormalization: a pure-CPU multiprocessing burn (bench_scaling.py's\n"
+            f"`_hw_ceiling`) run before every visit measured this VM granting at\n"
+            f"best **{ceiling:.3f}** of ideal 8->32 scaling during this probe\n"
+            f"(samples per visit: {[round(c, 3) for c in ceilings]}); normalized\n"
+            "efficiency = raw / that measured ceiling — what the same job would\n"
+            "show on hardware that actually delivers 4x the CPU.\n"
+            "Each stage is a narrow mapInPandas with no shuffle:\n"
+            "per-split decode is embarrassingly parallel, so throughput tracks\n"
+            "whatever CPU the VM grants — on a real cluster it scales with\n"
+            "executors, and each decoder swaps to a C codec (libvips /\n"
+            "Pillow-SIMD / libsndfile / ffmpeg) without touching the plan.\n\n"
+            "Raw timings (s):\n" + raw_md
         )
     print(f"wrote {md}")
 

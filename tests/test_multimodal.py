@@ -328,6 +328,27 @@ def test_distributed_media_deterministic_and_decodable(spark):
     assert len(stats) == 40 and all(r["format"] == "png" for r in stats)
 
 
+def test_distributed_media_mixed_kinds(spark):
+    """kinds=(image, audio, video) cycles per row id, stays
+    partitioning-invariant, and every payload decodes through its chain."""
+    from ontology_pipeline_spark.operators.multimodal import (
+        audio_stats,
+        image_channel_stats,
+        video_stats,
+    )
+    from ontology_pipeline_spark.synth import distributed_media
+
+    kinds = ("image", "audio", "video")
+    a = {r["media_id"]: bytes(r["payload"]) for r in distributed_media(spark, 18, seed=19, partitions=2, kinds=kinds).collect()}
+    b = {r["media_id"]: bytes(r["payload"]) for r in distributed_media(spark, 18, seed=19, partitions=5, kinds=kinds).collect()}
+    assert a == b and len(a) == 18
+    media = distributed_media(spark, 18, seed=19, kinds=kinds)
+    for chain, kind in ((image_channel_stats, "image"), (audio_stats, "audio"), (video_stats, "video")):
+        subset = media.filter(f"kind = '{kind}'")
+        rows = chain(subset).collect()
+        assert len(rows) == 6 and all(r["format"] is not None for r in rows), kind
+
+
 def test_y4m_decode_roundtrips_generation_frames():
     """Video path is REAL: the pure-stdlib Y4M decoder recovers the exact
     generation-side planes (all three motion patterns, varied dims/fps)
