@@ -538,7 +538,9 @@ def y4m_decode(
                 cspace = val
         except ValueError:
             return None
-    if not w or not h or w < 0 or h < 0 or not fps_num or not fps_den:
+    if w is None or h is None or w <= 0 or h <= 0:
+        return None
+    if fps_num is None or fps_den is None or fps_num <= 0 or fps_den <= 0:
         return None
     if cspace == "444":
         chroma = 2 * w * h

@@ -181,8 +181,11 @@ def structural_flags(
         n > 0,
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n,
     ).otherwise(F.lit(0.0))
+    # Java regex char class: braces are literal; backslash and both square
+    # brackets need a single escape ('[' would otherwise open a NESTED class
+    # in Java and silently drop the brackets from the count).
     sym = F.length(text_col) - F.length(
-        F.regexp_replace(text_col, r"[#\\{\\}<>|\\\\^~\\[\\]]", "")
+        F.regexp_replace(text_col, r"[#{}<>|\\^~\[\]]", "")
     )
     sym_ratio = F.when(F.length(text_col) > 0, sym / F.length(text_col)).otherwise(F.lit(0.0))
     return (

@@ -569,9 +569,16 @@ def distributed_media(
             for i in pdf["id"]:
                 i = int(i)
                 rng = random.Random(seed * 1_000_003 + i)
+                # j = dense per-kind ordinal: kinds cycle by row id, so
+                # content selectors must NOT reuse i (every selector table
+                # has length 3/4 and would alias with a 3-kind cycle,
+                # collapsing each kind to one label/waveform/motion).
+                # With the default single-kind tuple j == i, preserving the
+                # original corpus byte-for-byte.
                 kind = kinds[i % len(kinds)]
+                j = i // len(kinds)
                 if kind == "audio":
-                    rate, ch, samples = generate_audio_samples(i, rng)
+                    rate, ch, samples = generate_audio_samples(j, rng)
                     rows.append(
                         (
                             f"wav{i:09d}",
@@ -581,12 +588,12 @@ def distributed_media(
                             None,
                             None,
                             (len(samples) // ch) * 1000 // rate,
-                            AUDIO_WAVEFORMS[i % len(AUDIO_WAVEFORMS)],
+                            AUDIO_WAVEFORMS[j % len(AUDIO_WAVEFORMS)],
                         )
                     )
                     continue
                 if kind == "video":
-                    w, h, num, den, frames = generate_video_frames(i, rng)
+                    w, h, num, den, frames = generate_video_frames(j, rng)
                     rows.append(
                         (
                             f"y4m{i:09d}",
@@ -596,12 +603,12 @@ def distributed_media(
                             w,
                             h,
                             len(frames) * 1000 * den // num,
-                            VIDEO_MOTIONS[i % len(VIDEO_MOTIONS)],
+                            VIDEO_MOTIONS[j % len(VIDEO_MOTIONS)],
                         )
                     )
                     continue
-                label = MEDIA_LABELS[i % len(MEDIA_LABELS)]
-                ch = [1, 3, 4, 2][i % 4]
+                label = MEDIA_LABELS[j % len(MEDIA_LABELS)]
+                ch = [1, 3, 4, 2][j % 4]
                 w, h = rng.randint(5, 24), rng.randint(5, 24)
                 pix = bytearray()
                 for y in range(h):

@@ -392,6 +392,9 @@ def test_y4m_decode_rejects_garbage_and_unsupported():
     assert y4m_decode(good.replace(b"FRAME", b"FRUME", 1)) is None
     assert y4m_decode(y4m_encode(0, 3, 25, 1, [])) is None
     assert y4m_decode(good.replace(b"F25:1", b"F0:1")) is None
+    # negative fps (one flipped byte) must not decode into negative duration
+    assert y4m_decode(good.replace(b"F25:1", b"F-25:1")) is None
+    assert y4m_decode(good.replace(b"F25:1", b"F25:-1")) is None
     # header-only stream (no frames) -> None
     assert y4m_decode(b"YUV4MPEG2 W4 H3 F25:1 Ip A1:1 C444\n") is None
     # declared frame size past the bound -> None before touching frame bytes

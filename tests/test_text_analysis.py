@@ -86,8 +86,13 @@ def test_repetition_signals_and_structural_flags(spark):
     )
     boiler = "\n".join(["Home | About | Contact"] * 8 + ["One real line here."])
     symbols = "{{{### }}} <<>> |||| ^^ ~~ [[[]]] {#} " * 5
+    # brackets ALONE must trip the gate ('[' unescaped inside a Java char
+    # class opens a nested class, silently dropping brackets from the
+    # count): distinct tokens, one line — only sym_ratio can fail this row
+    brackets = " ".join(f"[w{i}]" for i in range(30))
     df = spark.createDataFrame(
-        [(1, prose), (2, boiler), (3, symbols), (4, "")], ["doc_id", "text"]
+        [(1, prose), (2, boiler), (3, symbols), (4, ""), (5, brackets)],
+        ["doc_id", "text"],
     )
     out = {
         r["doc_id"]: r
@@ -102,6 +107,7 @@ def test_repetition_signals_and_structural_flags(spark):
     assert out[2]["dl"] > 0.7 and out[2]["ok"] is False   # repeated nav rows
     assert out[3]["ok"] is False                          # symbol soup
     assert out[4]["ok"] is False and out[4]["dl"] == 0.0  # empty doc fails gate
+    assert out[5]["ok"] is False                          # bracket-heavy markup
     # pure expressions: no Python stage in the plan
     plan = (
         df.select(structural_flags(F.col("text")))
