@@ -58,7 +58,12 @@ def curate_documents(
     the `curated_documents` golden replay pins the 5-stage chain, and the
     driver's synthetic corpus is already clean prose."""
     if clean:
-        docs = clean_documents(docs, text_col)
+        # pin the cleaned text before ANY gate reads it: Catalyst pushes
+        # downstream filter predicates through the cleaning projection and
+        # substitutes the whole regexp chain into every gate sub-signal
+        # (structural_flags alone embeds it 6x; measured 9.7x wall on 100k
+        # pages, the same trap as the multi-consumer rule in CLAUDE.md)
+        docs = clean_documents(docs, text_col).localCheckpoint(eager=False)
     if structural_gate:
         docs = docs.filter(structural_flags(F.col(text_col)))
     d = (

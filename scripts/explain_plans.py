@@ -39,6 +39,17 @@ def main() -> None:
     print("\n========== kg build_triples (fused hot path) ==========")
     pages = pages_df(spark, generate_corpus(n_pages=100, seed=5))
     build_triples(pages, lexicon_rows(), from_html=True).explain("formatted")
+
+    print("\n========== web-text cleaning projection (fused into the scan) ==========")
+    # the round-3 cleaning stage must stay a pure-expression projection (no
+    # BatchEvalPython / MapInPandas).  NOTE: consumers must not filter on
+    # the cleaned column directly — curate_documents pins it first
+    # (localCheckpoint), else Catalyst substitutes this whole chain into
+    # every gate sub-signal (measured 9.7x wall; see PLANS.md)
+    from ontology_pipeline_spark.operators.clean import clean_documents
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    clean_documents(docs.select("doc_id", "text")).explain("formatted")
     spark.stop()
 
 

@@ -126,3 +126,9 @@ def test_curation_chain_with_clean_and_structural_stages(spark):
         assert "a@b.io" not in rows[2]  # the nav boilerplate lines are gone
         assert "Home | About" not in rows[2]
     assert 1 in base              # default chain still runs without the stages
+    # the cleaned text must be PINNED before the gates read it: without the
+    # checkpoint Catalyst substitutes the regexp clean chain into every gate
+    # sub-signal (measured 9.7x wall on 100k pages).  A checkpoint scan in
+    # the plan is the regression guard.
+    plan = curated._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
