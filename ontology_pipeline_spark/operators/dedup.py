@@ -328,13 +328,24 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 2,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs: shingle -> minhash -> band ->
     bucket-join.  Pair space is bounded by band-bucket collisions, never n^2.
 
     Returns distinct (id_a, id_b, est_jaccard) where est_jaccard is the
     signature-agreement fraction (unbiased Jaccard estimate).
-    """
+
+    ``max_bucket_size``: a band bucket with B members emits B^2/2 candidate
+    pairs, so ONE hot bucket (template/boilerplate corpora: thousands of
+    pages sharing a band signature) turns the join quadratic — measured as
+    a multi-minute stall at 100k templated pages that the cap reduces to
+    seconds.  Buckets above the cap are skipped for pair generation; a
+    skipped pair is still found through any of the other bands-1 buckets
+    it shares, so only docs hot in EVERY band lose edges — and a corpus
+    region that degenerate is byte-duplicate territory (exact dedup's job,
+    which the curation chain runs first).  None (default) disables the cap
+    (exhaustive candidates; golden replays assume this)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     # spread the CPU-heavy signature computation (small corpora often arrive
@@ -356,6 +367,18 @@ def minhash_lsh_pairs(
         "doc_id",
         F.explode(band_structs(F.col("signature"), bands, rows_per_band)).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        # one slim shuffle over (band, bucket) to find HOT buckets, then
+        # anti-join them away BEFORE the quadratic join.  The hot set is
+        # tiny by construction (few buckets exceed the cap even on
+        # boilerplate corpora) so it broadcasts; the eligible set would not.
+        hot = (
+            banded.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -398,6 +421,7 @@ def minhash_dedup_clusters(
     shingle_n: int = 2,
     seed: int = 42,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Document-level near-dup CLUSTERS (VERDICT r1 #9): MinHash-LSH pairs
     -> connected components -> one row per clustered doc with its cluster
@@ -415,7 +439,8 @@ def minhash_dedup_clusters(
     from .canonicalize import connected_components
 
     pairs = minhash_lsh_pairs(
-        documents, text_col, id_col, num_hashes, bands, shingle_n, seed
+        documents, text_col, id_col, num_hashes, bands, shingle_n, seed,
+        max_bucket_size=max_bucket_size,
     ).filter(F.col("est_jaccard") >= threshold)
     cc = connected_components(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     return cc.select(

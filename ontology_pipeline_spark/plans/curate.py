@@ -42,6 +42,7 @@ def curate_documents(
     sample_rate: float | None = None,
     clean: bool = False,
     structural_gate: bool = False,
+    max_bucket_size: int | None = 2048,
 ) -> DataFrame:
     """Surviving rows plus `lang_pred` and `quality` columns.
 
@@ -56,7 +57,13 @@ def curate_documents(
     Gopher-style repetition/shape gate — both narrow expressions that fuse
     into the same scan as the language/quality gates.  Both default OFF:
     the `curated_documents` golden replay pins the 5-stage chain, and the
-    driver's synthetic corpus is already clean prose."""
+    driver's synthetic corpus is already clean prose.
+
+    ``max_bucket_size`` caps LSH band buckets in the near-dup stage (hot
+    buckets on boilerplate corpora make the candidate join quadratic; see
+    dedup.minhash_lsh_pairs).  The 2048 default is a no-op on any corpus
+    whose buckets stay sane — including the golden fixture — while keeping
+    the chain's wall time bounded on templated web text."""
     if clean:
         # pin the cleaned text before ANY gate reads it: Catalyst pushes
         # downstream filter predicates through the cleaning projection and
@@ -84,6 +91,7 @@ def curate_documents(
         bands=bands,
         shingle_n=shingle_n,
         threshold=dedup_threshold,
+        max_bucket_size=max_bucket_size,
     )
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)

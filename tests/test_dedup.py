@@ -9,6 +9,7 @@ from ontology_pipeline_spark.operators.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
     exact_dup_groups,
+    minhash_dedup_clusters,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_buckets,
@@ -118,6 +119,34 @@ def test_minhash_lsh_finds_near_dups_without_n2(spark):
     assert (0, 1) in got and got[(0, 1)] == 1.0
     assert (0, 2) in got and got[(0, 2)] >= 0.5
     assert (3, 4) not in got
+
+
+def test_minhash_hot_bucket_cap_bounds_the_pair_join(spark):
+    """A band bucket with B members emits B^2/2 candidates; on boilerplate
+    corpora one hot bucket turns the join quadratic.  max_bucket_size must
+    drop ONLY hot-bucket pairs (identical docs share every band, so a cap
+    below the group size removes all their pairs) while pairs living in
+    sane buckets survive, and None must stay exhaustive for the goldens."""
+    n_hot = 60
+    hot = [(i, "identical boilerplate page body repeated across the whole crawl")
+           for i in range(n_hot)]
+    # a genuine near-dup pair with its own small buckets
+    distinct = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(hot + distinct, ["doc_id", "text"])
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs(docs, shingle_n=1).collect()}
+    assert (1000, 1001) in uncapped
+    assert sum(1 for a, b in uncapped if a < n_hot and b < n_hot) == n_hot * (n_hot - 1) // 2
+    capped = {(r["id_a"], r["id_b"])
+              for r in minhash_lsh_pairs(docs, shingle_n=1, max_bucket_size=16).collect()}
+    assert (1000, 1001) in capped                      # sane buckets untouched
+    assert not any(a < n_hot for a, _ in capped)       # hot group dropped
+    # the cluster path threads the cap through
+    clusters = minhash_dedup_clusters(docs, shingle_n=1, max_bucket_size=16).collect()
+    assert {r["doc_id"] for r in clusters} == {1000, 1001}
 
 
 def test_simhash_buckets_group_near_dups(spark):
