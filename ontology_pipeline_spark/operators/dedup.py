@@ -548,6 +548,7 @@ def embedding_lsh_pairs(
     rows_per_band: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at WEB SCALE with no natural blocking key:
     banded sign-LSH candidate generation (the OR-amplified analog of
@@ -616,6 +617,17 @@ def embedding_lsh_pairs(
     slim = staged.select("_id", F.explode("_bb").alias("bb")).select(
         "_id", "bb.band", "bb.bucket"
     )
+    if max_bucket_size is not None:
+        # same hot-bucket guard as minhash_lsh_pairs: near-identical vector
+        # floods (dup embeddings) make one bucket's pair join quadratic; the
+        # hot set is tiny by construction, so it broadcasts
+        hot = (
+            slim.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        slim = slim.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b = slim.alias("a"), slim.alias("b")
     cand = (
         a.join(

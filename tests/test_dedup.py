@@ -189,6 +189,23 @@ def test_embedding_cosine_pairs(spark):
     assert got == {(0, 1)}
 
 
+def test_embedding_lsh_hot_bucket_cap(spark):
+    """Same guard as the MinHash cap: a flood of identical embeddings fills
+    every band bucket it touches; the cap drops those pairs while a
+    near-dup pair living in sane buckets is still returned."""
+    from ontology_pipeline_spark.operators.dedup import embedding_lsh_pairs
+
+    flood = [(i, [0.5, 0.5, -0.5, 0.5]) for i in range(40)]
+    near = [(1000, [1.0, 0.01, 0.0, 0.0]), (1001, [1.0, 0.012, 0.0, 0.0])]
+    vecs = spark.createDataFrame(flood + near, ["vec_id", "embedding"])
+    capped = {(r["id_a"], r["id_b"])
+              for r in embedding_lsh_pairs(vecs, threshold=0.99, max_bucket_size=8).collect()}
+    assert (1000, 1001) in capped
+    assert not any(a < 40 for a, _ in capped)
+    uncapped = {(r["id_a"], r["id_b"]) for r in embedding_lsh_pairs(vecs, threshold=0.99).collect()}
+    assert sum(1 for a, b in uncapped if a < 40 and b < 40) == 40 * 39 // 2
+
+
 def test_minhash_dedup_clusters_transitive(spark):
     """A~B and B~C near-dup pairs must collapse into ONE cluster with the
     min doc_id as representative, even when A~C alone would not pair."""
