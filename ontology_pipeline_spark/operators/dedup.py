@@ -320,6 +320,39 @@ def minhash_signatures(
     )
 
 
+def minhash_hot_buckets(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    seed: int = 42,
+    min_size: int = 2,
+) -> DataFrame:
+    """Band-bucket occupancy report: (band, bucket, n_docs, sample min
+    doc_id) for buckets with >= min_size members, n_docs descending.  NO
+    SILENT CAPS: run this with min_size = the cap you intend to pass to
+    `minhash_lsh_pairs`/`curate_documents` to see exactly which bucket
+    populations pair generation would skip (and how many docs they hold)
+    before committing to it.  One slim shuffle; no pair join."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        documents, text_col, id_col, num_hashes, shingle_n, seed
+    ).filter(F.col("signature").isNotNull())
+    banded = sigs.select(
+        "doc_id",
+        F.explode(band_structs(F.col("signature"), bands, rows_per_band)).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= min_size)
+        .orderBy(F.col("n_docs").desc(), "band", "bucket")
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     text_col: str = "text",

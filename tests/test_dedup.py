@@ -189,6 +189,21 @@ def test_embedding_cosine_pairs(spark):
     assert got == {(0, 1)}
 
 
+def test_minhash_hot_buckets_reports_cap_impact(spark):
+    """The occupancy report names the buckets a cap would skip: the
+    60-identical-doc group shows up as bands buckets of n_docs=60."""
+    from ontology_pipeline_spark.operators.dedup import minhash_hot_buckets
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate page body repeated") for i in range(60)]
+        + [(1000, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    rows = minhash_hot_buckets(docs, shingle_n=1, min_size=17).collect()
+    assert len(rows) == 8  # one hot bucket per band, nothing else
+    assert all(r["n_docs"] == 60 and r["min_doc_id"] == 0 for r in rows)
+
+
 def test_embedding_lsh_hot_bucket_cap(spark):
     """Same guard as the MinHash cap: a flood of identical embeddings fills
     every band bucket it touches; the cap drops those pairs while a
