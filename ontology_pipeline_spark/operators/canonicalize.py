@@ -31,7 +31,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 40,
     salt_buckets: int = 8,
 ) -> DataFrame:
     """Edges (src, dst) -> (node, component) with component = min label.
@@ -43,10 +43,15 @@ def connected_components(
 
     Each round combines one-hop neighbor-min propagation with pointer
     jumping (label := label of my label), so convergence is O(log diameter)
-    rounds, not O(diameter); with the default max_iter=20 that covers
-    components of astronomically larger diameter than any co-reference
-    graph.  If the loop still exhausts without converging, this RAISES
-    rather than returning silently-unmerged components.
+    rounds, not O(diameter): the min label's reach doubles per round
+    (~2^(r-1) hops after r rounds), plus one final round to detect the
+    fixpoint.  A 300k-node PATH component (measured: the hot-bucket-capped
+    near-dup graph of a templated 300k-page corpus, where url order tracks
+    template order) therefore needs 21 rounds — the old default of 20 was
+    exactly one short.  max_iter=40 covers diameter ~2^39 at zero cost to
+    shallow graphs (the loop exits at the fixpoint).  If the loop still
+    exhausts without converging, this RAISES rather than returning
+    silently-unmerged components.
     """
     pair = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (

@@ -126,8 +126,12 @@ def test_cc_chain_converges(spark):
 
 def test_cc_deep_chain_default_iters(spark):
     """Pointer jumping makes convergence O(log diameter): a 60-node chain
-    (diameter 59 — far beyond one-hop-per-round reach at max_iter=20) must
-    converge with the DEFAULT budget."""
+    (diameter 59 — far beyond one-hop-per-round reach in 40 rounds without
+    jumping) must converge with the DEFAULT budget.  The min label's reach
+    doubles per round (~2^(r-1) hops after r rounds) plus one fixpoint-
+    detection round; a measured 300k-page templated corpus produced a
+    ~300k-node path component in the capped near-dup graph and needed 21
+    rounds, which is why the default budget is 40, not 20."""
     edges = spark.createDataFrame(
         [(f"n{i:03d}", f"n{i+1:03d}") for i in range(59)], ["src", "dst"]
     )
