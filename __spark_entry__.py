@@ -264,15 +264,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["revenue_rollup"] = revenue_rollup
 
-    def mktsegment_acctbal(spark, sf):
-        c = _t(spark, sf, "customer")
-        return c.groupBy("c_mktsegment").agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    # (mktsegment_acctbal retired in round 3: the driver checks at most 50
+    # queries, and its customer group-agg coverage is subsumed by
+    # revenue_by_nation / customers_without_orders / q1_pricing_summary.
+    # Freed the slot for decontaminated_docs.)
+
+    def decontaminated_docs(spark, sf):
+        """Benchmark decontamination gate: documents sharing any word 7-gram
+        with a deterministic held-out slice (doc_id % 37 == 0 plays the eval
+        set) are flagged with their hit-gram count.  Exercises the broadcast
+        gram semi-join path of operators/decontaminate.py end to end."""
+        from ontology_pipeline_spark.operators.decontaminate import (
+            benchmark_ngrams,
+            contamination_hits,
         )
 
-    q["mktsegment_acctbal"] = mktsegment_acctbal
+        d = _t(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") % 37 == 0).select("text")
+        grams = benchmark_ngrams(bench, n=7)
+        return contamination_hits(d, grams, n=7).select("doc_id", "n_hit_grams")
+
+    q["decontaminated_docs"] = decontaminated_docs
 
     def latest_order_before_event(spark, sf):
         """As-of join (cogrouped merge_asof): each event gets its user's
@@ -1211,12 +1223,28 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY ROLLUP (n_name, cast(year(o_orderdate) AS BIGINT))
     """
 
-    o["mktsegment_acctbal"] = """
-        SELECT c_mktsegment, count(*) AS n_customers,
-               round(min(c_acctbal), 2) AS min_bal,
-               round(max(c_acctbal), 2) AS max_bal
-        FROM customer
-        GROUP BY c_mktsegment
+    o["decontaminated_docs"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        bgrams AS (
+            SELECT DISTINCT array_to_string(toks[i : i + 6], ' ') AS gram
+            FROM tok, UNNEST(range(1, len(toks) - 5)) AS u(i)
+            WHERE doc_id % 37 = 0 AND len(toks) >= 7
+        ),
+        dgrams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(toks[i : i + 6], ' ') AS gram
+            FROM tok, UNNEST(range(1, len(toks) - 5)) AS u(i)
+            WHERE len(toks) >= 7
+        )
+        SELECT d.doc_id, count(*) AS n_hit_grams
+        FROM dgrams d
+        WHERE d.gram IN (SELECT gram FROM bgrams)
+        GROUP BY d.doc_id
     """
 
     o["latest_order_before_event"] = """
