@@ -365,6 +365,215 @@ def png_encode(
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
 
 
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# fixed-length canonical Huffman tables (our choice — any DHT-declared table
+# is spec-valid and the decoder is table-driven): all 12 DC size symbols at
+# code length 4, all 162 baseline AC symbols at code length 8.  Neither
+# assigns an all-ones code.
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_VALS.sort()
+_JPEG_DC_BITS = [0] * 16
+_JPEG_DC_BITS[3] = len(_JPEG_DC_VALS)  # all codes 4 bits
+_JPEG_AC_BITS = [0] * 16
+_JPEG_AC_BITS[7] = len(_JPEG_AC_VALS)  # all codes 8 bits
+
+
+def _jpeg_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by the T.81 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+    def restart(self, idx: int) -> None:
+        """Pad to a byte boundary, then emit RSTn (raw marker, unstuffed)."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
+
+def jpeg_encode(
+    w: int, h: int, planes: list[bytes], subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Pure-Python baseline JPEG writer, independent of the operator-side
+    decoder (same discipline as `png_encode`/`wav_encode`/`y4m_encode`).
+    `planes` is [Y] for grayscale or [Y, Cb, Cr] at FULL resolution (each
+    w*h bytes); chroma is box-averaged down for "420"/"422".  Quantization
+    tables are all-ones, so an image whose 8x8 blocks (16x16 / 16x8 for
+    420/422) are each solid-color round-trips BIT-EXACTLY through any
+    conforming decoder: a solid block has only a DC coefficient, which
+    quant=1 stores exactly.  Huffman tables are fixed-length canonical
+    (declared in DHT, so any table-driven decoder reads them)."""
+    import math
+
+    import numpy as np
+
+    assert subsampling in ("444", "420", "422")
+    ncomp = len(planes)
+    assert ncomp in (1, 3)
+    for p in planes:
+        assert len(p) == w * h
+    if ncomp == 1:
+        factors = [(1, 1)]
+    elif subsampling == "444":
+        factors = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        factors = [(2, 1), (1, 1), (1, 1)]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    basis = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+
+    dc_codes = _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    # subsample + pad each component plane to whole-MCU multiples
+    comp_arrays = []
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for (hi, vi), plane in zip(factors, planes):
+        a = np.frombuffer(plane, dtype=np.uint8).reshape(h, w).astype(np.int64)
+        if hi < hmax or vi < vmax:
+            fx, fy = hmax // hi, vmax // vi
+            ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+            padded = a[np.minimum(np.arange(ph), h - 1)][:, np.minimum(np.arange(pw), w - 1)]
+            a = (
+                padded.reshape(ph // fy, fy, pw // fx, fx).sum(axis=(1, 3))
+                + (fx * fy) // 2
+            ) // (fx * fy)
+        cw, ch_ = mcus_x * 8 * hi, mcus_y * 8 * vi
+        a = a[np.minimum(np.arange(ch_), a.shape[0] - 1)][:, np.minimum(np.arange(cw), a.shape[1] - 1)]
+        comp_arrays.append(a)
+
+    wtr = _JpegBitWriter()
+    pred = [0] * ncomp
+    n_mcu = rst_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                wtr.restart(rst_idx)
+                rst_idx += 1
+                pred = [0] * ncomp
+            n_mcu += 1
+            for ci, (hi, vi) in enumerate(factors):
+                arr = comp_arrays[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        block = arr[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64) - 128.0
+                        coef = basis @ block @ basis.T
+                        q = np.rint(coef).astype(np.int64)
+                        # keep ACs inside the baseline 10-bit categories
+                        flat = q.reshape(64)
+                        diff = int(flat[0]) - pred[ci]
+                        pred[ci] = int(flat[0])
+                        size = diff.bit_length() if diff else 0
+                        wtr.put(*dc_codes[size])
+                        if size:
+                            wtr.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(flat[_JPEG_ZIGZAG[k]])
+                            v = max(-1023, min(1023, v))
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                wtr.put(*ac_codes[0xF0])
+                                run -= 16
+                            s = v.bit_length() if v > 0 else (-v).bit_length()
+                            wtr.put(*ac_codes[(run << 4) | s])
+                            wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            wtr.put(*ac_codes[0x00])  # EOB
+    scan = wtr.flush()
+
+    import struct as _struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    n_qt = 1 if ncomp == 1 else 2
+    for tq in range(n_qt):
+        out += seg(0xDB, bytes([tq]) + bytes([1] * 64))  # Pq=0, all-ones
+    sof = bytes([8]) + _struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (hi, vi) in enumerate(factors):
+        tq = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, (hi << 4) | vi, tq])
+    out += seg(0xC0, sof)
+    for th in range(n_qt):
+        out += seg(
+            0xC4,
+            bytes([th]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+        )
+        out += seg(
+            0xC4,
+            bytes([0x10 | th]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        )
+    if restart_interval:
+        out += seg(0xDD, _struct.pack(">H", restart_interval))  # DRI
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])  # Ss/Se/Ah-Al for baseline
+    out += seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def wav_encode(sample_rate: int, channels: int, samples: list[int]) -> bytes:
     """Pure-stdlib 16-bit PCM WAV writer (RIFF/WAVE/fmt/data), independent of
     the operator-side decoder.  `samples` are interleaved int16 frames."""
@@ -463,7 +672,8 @@ class MediaCorpus:
 
 
 def generate_media_corpus(
-    n_images: int = 48, seed: int = 11, n_audio: int = 9, n_video: int = 6
+    n_images: int = 48, seed: int = 11, n_audio: int = 9, n_video: int = 6,
+    n_jpeg: int = 12,
 ) -> MediaCorpus:
     """Seeded media table: PNGs of varied size (5-24 px, deliberately NOT
     multiples of the thumbnail dims so resize bins are uneven), channel
@@ -530,7 +740,61 @@ def generate_media_corpus(
             )
         )
         videos[mid] = (w, h, num, den, frames)
+    # JPEG mosaic rows draw from `rng` AFTER images/audio/video (same
+    # append-only discipline: earlier goldens stay bit-identical).  Each
+    # mosaic cell spans exactly one MCU (8x8 for 4:4:4 and grayscale, 16x16
+    # for 4:2:0, 16x8 for 4:2:2) and is solid-color, so with the all-ones
+    # quant tables the encode -> decode round trip is BIT-EXACT (solid block
+    # = DC-only) and the expected decoded pixels are computed here from the
+    # cell YCbCr via the public JFIF formula — independently of the
+    # operator-side decoder.
+    jfif = (1.402, 0.344136, 0.714136, 1.772)
+    for i in range(n_jpeg):
+        label = MEDIA_LABELS[i % len(MEDIA_LABELS)]
+        mode, sub = [("gray", "444"), ("color", "444"), ("color", "420"), ("color", "422")][i % 4]
+        w, h = rng.randint(10, 40), rng.randint(10, 40)
+        cell_w, cell_h = {"444": (8, 8), "420": (16, 16), "422": (16, 8)}[sub]
+        ncx, ncy = -(-w // cell_w), -(-h // cell_h)
+        cells = {}
+        for cy in range(ncy):
+            for cx in range(ncx):
+                if label == "gradient":
+                    yv = (cx * 255 // max(ncx - 1, 1) + 5 * cy) % 256
+                    cb, cr = (40 + 37 * cx) % 256, (60 + 53 * cy) % 256
+                elif label == "checker":
+                    yv = 230 if (cx + cy) % 2 == 0 else 25
+                    cb, cr = (190, 70) if (cx + cy) % 2 == 0 else (70, 190)
+                else:
+                    yv, cb, cr = rng.randrange(256), rng.randrange(256), rng.randrange(256)
+                cells[(cx, cy)] = (yv, cb, cr)
+        yp, cbp, crp = bytearray(w * h), bytearray(w * h), bytearray(w * h)
+        for y in range(h):
+            for x in range(w):
+                yv, cb, cr = cells[(x // cell_w, y // cell_h)]
+                yp[y * w + x], cbp[y * w + x], crp[y * w + x] = yv, cb, cr
+        mid = f"jpg{i:03d}"
+        if mode == "gray":
+            payload = jpeg_encode(w, h, [bytes(yp)])
+            pixels[mid] = (w, h, 1, bytes(yp))
+        else:
+            payload = jpeg_encode(w, h, [bytes(yp), bytes(cbp), bytes(crp)], subsampling=sub)
+            rgb = bytearray(w * h * 3)
+            kr, kgb, kgr, kb = jfif
+            for y in range(h):
+                for x in range(w):
+                    yv, cb, cr = cells[(x // cell_w, y // cell_h)]
+                    for c, val in enumerate(
+                        (
+                            yv + kr * (cr - 128),
+                            yv - kgb * (cb - 128) - kgr * (cr - 128),
+                            yv + kb * (cb - 128),
+                        )
+                    ):
+                        rgb[(y * w + x) * 3 + c] = min(255, max(0, round(val)))
+            pixels[mid] = (w, h, 3, bytes(rgb))
+        rows.append((mid, "image", payload, "image/jpeg", w, h, None, label))
     rows.append(("bad000", "image", b"not a png at all", "image/png", None, None, None, "garbage"))
+    rows.append(("bad002", "image", b"\xff\xd8\xff\xdbtruncated jpeg", "image/jpeg", None, None, None, "garbage"))
     rows.append(("bad001", "image", _PNG_SIG + b"\x00\x00truncated", "image/png", None, None, None, "garbage"))
     rows.append(("aud000", "audio", b"RIFF fake wave bytes", "audio/wav", None, None, 2500, "audio"))
     rows.append(("vid000", "video", b"\x00\x00ftyp fake", "video/mp4", 640, 480, 3500, "video"))

@@ -486,6 +486,11 @@ def replay_media_stats(out_w=4, out_h=4):
     c = generate_media_corpus(n_images=48, seed=11)
     kind_by_id = {r[0]: r[1] for r in c.rows}
     label_by_id = {r[0]: r[7] for r in c.rows}
+    # image format from the generation-side mime (png_encode vs jpeg_encode);
+    # the JPEG rows' expected pixels are the generation-side mosaic bytes —
+    # bit-exact by construction (all-ones quant + solid per-MCU cells), so
+    # the same stats replay covers both containers without running a decoder
+    fmt_by_id = {r[0]: ("jpeg" if r[3] == "image/jpeg" else "png") for r in c.rows}
     N = None
     out = []
     for mid in sorted(c.pixels):
@@ -509,7 +514,7 @@ def replay_media_stats(out_w=4, out_h=4):
                     rsum += s // cnt
         resized_mean = round(rsum / (out_w * out_h * ch), 6)
         out.append(
-            (mid, kind_by_id[mid], label_by_id[mid], "png", w, h, ch,
+            (mid, kind_by_id[mid], label_by_id[mid], fmt_by_id[mid], w, h, ch,
              N, N, N, mean_all, mean_c0, resized_mean, N, N, N)
         )
     for mid in sorted(c.waveforms):

@@ -1,5 +1,6 @@
-"""Multimodal: schema-true binary handling with a REAL pure-stdlib PNG
-pixel path (decode / resize / stats) and documented non-PNG codec seams."""
+"""Multimodal: schema-true binary handling with REAL pure-Python pixel
+paths (PNG + baseline JPEG decode / resize / stats, WAV, Y4M) and a
+documented compressed-video codec seam."""
 
 from __future__ import annotations
 
@@ -47,6 +48,8 @@ def test_png_decode_roundtrips_every_filter_and_layout():
     c = generate_media_corpus(n_images=48, seed=11)
     layouts = set()
     for mid, (w, h, ch, pix) in c.pixels.items():
+        if mid.startswith("jpg"):  # JPEG rows have their own roundtrip test
+            continue
         payload = dict((r[0], r[2]) for r in c.rows)[mid]
         assert png_decode(payload) == (w, h, ch, pix), mid
         layouts.add(ch)
@@ -93,8 +96,8 @@ def test_resize_images_real_and_null_safe(spark):
 
 def test_real_features_for_png_stub_seam_for_other_formats(spark):
     """stub=False computes real features for every decodable container —
-    PNG pixels, PCM WAV samples, Y4M planes — and raises only at the
-    documented codec seam (compressed formats: JPEG SOI, ISO-BMFF)."""
+    PNG and baseline-JPEG pixels, PCM WAV samples, Y4M planes — and raises
+    only at the documented codec seam (compressed video: ISO-BMFF)."""
     import math
 
     corpus = generate_media_corpus(n_images=4, seed=11, n_audio=2, n_video=2)
@@ -139,7 +142,8 @@ def test_image_channel_stats_matches_generation_pixels(spark):
     }
     for mid, (w, h, ch, pix) in corpus.pixels.items():
         r = out[mid]
-        assert (r["format"], r["width"], r["height"], r["channels"]) == ("png", w, h, ch)
+        fmt = "jpeg" if mid.startswith("jpg") else "png"
+        assert (r["format"], r["width"], r["height"], r["channels"]) == (fmt, w, h, ch)
         assert r["mean_all"] == round(sum(pix) / (w * h * ch), 6)
         assert r["mean_c0"] == round(sum(pix[0::ch]) / (w * h), 6)
         rp = resize_pixels(pix, w, h, ch, 4, 4)
@@ -293,25 +297,21 @@ def test_png_decode_bounds_decompression_bombs():
 
 
 def test_stub_false_null_for_corrupt_raise_only_at_codec_seam(spark):
-    """The never-raise contract under stub=False: corrupt PNG / garbage
-    bytes yield a NULL feature row; only recognizable containers that need a
-    real codec (JPEG SOI, RIFF, ftyp) raise at the documented seam."""
+    """The never-raise contract under stub=False: corrupt PNG / corrupt
+    JPEG / garbage bytes yield a NULL feature row; only recognizable
+    containers that need a real codec (ISO-BMFF ftyp) raise at the
+    documented seam (JPEG moved off the seam in round 3: baseline decode is
+    real, corrupt/progressive streams go NULL)."""
     corrupt = spark.createDataFrame(
         [
             ("c1", "image", b"\x89PNG\r\n\x1a\n\x00\x00truncated junk"),
             ("c2", "image", b"complete garbage, no container signature"),
+            ("j1", "image", b"\xff\xd8\xff\xe0 jpeg-ish"),
         ],
         "media_id string, kind string, payload binary",
     )
     out = {r["media_id"]: r["feature"] for r in extract_media_features(corrupt, stub=False).collect()}
-    assert out == {"c1": None, "c2": None}
-    jpeg = spark.createDataFrame(
-        [("j1", "image", b"\xff\xd8\xff\xe0 jpeg-ish")],
-        "media_id string, kind string, payload binary",
-    )
-    with pytest.raises(Exception) as ei:
-        extract_media_features(jpeg, stub=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+    assert out == {"c1": None, "c2": None, "j1": None}
 
 
 def test_distributed_media_deterministic_and_decodable(spark):
@@ -495,3 +495,110 @@ def test_decoders_never_raise_on_seeded_mutations():
                 at = rng.randrange(len(b))
                 b[at:at] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 32)))
             decode(bytes(b))  # any return is fine; raising is the failure
+
+
+def test_jpeg_mosaic_roundtrip_bit_exact():
+    """With all-ones quant tables, images whose cells are solid per MCU
+    (8x8 for 4:4:4/gray, 16x16 for 4:2:0, 16x8 for 4:2:2) carry only DC
+    coefficients, so encode -> entropy decode -> IDCT -> color convert is
+    BIT-EXACT against the generation-side expected pixels for every layout
+    the decoder supports.  This exercises the full baseline path: Huffman
+    tables from DHT, DC prediction, EOB, dequantize, IDCT, chroma
+    upsampling, JFIF YCbCr->RGB."""
+    from ontology_pipeline_spark.operators.multimodal import jpeg_decode
+    from ontology_pipeline_spark.synth import generate_media_corpus
+
+    c = generate_media_corpus(n_images=0, n_audio=0, n_video=0, n_jpeg=12)
+    layouts_seen = set()
+    for mid, kind, payload, mime, *_ in c.rows:
+        if mime != "image/jpeg" or mid.startswith("bad"):
+            continue
+        dec = jpeg_decode(payload)
+        assert dec is not None, mid
+        assert dec == c.pixels[mid], mid
+        layouts_seen.add((dec[2], len(payload) % 1))  # channels
+    assert {c0 for c0, _ in layouts_seen} == {1, 3}
+
+
+def test_jpeg_lossy_roundtrip_bounded():
+    """Arbitrary (non-mosaic) content is lossy but bounded: with quant=1 the
+    only error sources are FDCT rounding (<=0.5/coeff) and the clamp of the
+    one-in-a-trillion 11-bit AC; decoded RGB must stay within +-4 of the
+    direct JFIF conversion of the source planes.  A Huffman/zigzag/dequant
+    bug would blow this bound up immediately."""
+    import random
+
+    from ontology_pipeline_spark.operators.multimodal import jpeg_decode
+    from ontology_pipeline_spark.synth import jpeg_encode
+
+    rng = random.Random(7)
+    for sub in ("444", "420", "422"):
+        w, h = 24, 17
+        yp = bytes(rng.randrange(256) for _ in range(w * h))
+        # smooth chroma (subsampling averages it, so keep it blockwise-flat
+        # to make the expected value well-defined under 420/422)
+        cb = bytes(((x // 16) * 40 + 60) % 256 for _ in range(1) for y in range(h) for x in range(w))
+        cr = bytes(((y // 16) * 30 + 90) % 256 for y in range(h) for x in range(w))
+        dec = jpeg_decode(jpeg_encode(w, h, [yp, cb, cr], subsampling=sub))
+        assert dec is not None and dec[:3] == (w, h, 3)
+        mx = 0
+        for i in range(w * h):
+            yv, cbv, crv = yp[i], cb[i] - 128.0, cr[i] - 128.0
+            exp = (yv + 1.402 * crv, yv - 0.344136 * cbv - 0.714136 * crv, yv + 1.772 * cbv)
+            for ci in range(3):
+                e = min(255, max(0, round(exp[ci])))
+                mx = max(mx, abs(e - dec[3][i * 3 + ci]))
+        assert mx <= 4, (sub, mx)
+
+
+def test_jpeg_restart_markers_and_dims():
+    """DRI/RSTn handling: a stream with restart_interval=2 decodes
+    identically to the unrestarted stream (DC predictors reset per
+    interval), and header dims agree with the full decode."""
+    from ontology_pipeline_spark.operators.multimodal import (
+        _jpeg_dimensions,
+        jpeg_decode,
+    )
+    from ontology_pipeline_spark.synth import jpeg_encode
+
+    w, h = 37, 22  # 5x3 MCUs at 4:4:4 -> several restart intervals
+    yp = bytes(((x // 8) * 31 + (y // 8) * 17) % 256 for y in range(h) for x in range(w))
+    plain = jpeg_encode(w, h, [yp])
+    rst = jpeg_encode(w, h, [yp], restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst and b"\xff\xdd" not in plain
+    a, b = jpeg_decode(plain), jpeg_decode(rst)
+    assert a is not None and b is not None
+    assert a == b  # mosaic -> both exact -> equal
+    assert _jpeg_dimensions(rst) == (w, h) == (a[0], a[1])
+
+
+def test_jpeg_decode_rejects_progressive_and_mutations():
+    """Progressive SOF2 returns None (codec seam, never raises); seeded
+    mutations over a valid baseline stream never raise (the corrupt-shard
+    contract, same fuzz shape as the PNG/WAV/Y4M decoders)."""
+    import random
+
+    from ontology_pipeline_spark.operators.multimodal import jpeg_decode
+    from ontology_pipeline_spark.synth import jpeg_encode
+
+    w, h = 19, 14
+    yp = bytes(((x // 8) * 50 + 40) % 256 for y in range(h) for x in range(w))
+    base = jpeg_encode(w, h, [yp])
+    assert jpeg_decode(base) is not None
+    prog = bytearray(base)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    assert jpeg_decode(bytes(prog)) is None
+    rng = random.Random(99)
+    for _ in range(300):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _k in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            at = rng.randrange(len(b))
+            b[at:at] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 32)))
+        jpeg_decode(bytes(b))  # any return is fine; raising is the failure
