@@ -170,6 +170,10 @@ class _JpegBits:
             self.n += 8
         self.n -= k
         v = (self.acc >> self.n) & ((1 << k) - 1)
+        # drop consumed bits: without this mask the accumulator grows into
+        # an unbounded bignum and decode goes super-quadratic in stream size
+        # (measured 210 s for one 451 KB JPEG before the fix)
+        self.acc &= (1 << self.n) - 1
         return v
 
     def huff(self, table: dict[tuple[int, int], int]) -> int:
@@ -223,8 +227,10 @@ def jpeg_decode(b: bytes, max_pixel_bytes: int = 1 << 27) -> tuple[int, int, int
     float IDCT (numpy, T.81 A.3.3 basis), nearest-neighbor chroma
     upsampling, JFIF YCbCr->RGB.  Returns None (never raises) for non-JPEG,
     progressive/arithmetic streams (SOF2+), 12-bit precision, >2x sampling,
-    corrupt/truncated data, or frames whose pixel buffer would exceed
-    `max_pixel_bytes` — a bad shard yields a NULL row, never a dead scan.
+    corrupt/truncated data, or frames whose PEAK decode memory (padded
+    planes + float upsampling/color stages, ~51 bytes/pixel for color)
+    would exceed `max_pixel_bytes` — a bad shard yields a NULL row, never
+    a dead scan or an executor OOM.
 
     Parity anchor: mirrors what the reference treats as opaque inputs (its
     corpus is text-only; this is the engine-extension media path).  A real
@@ -317,7 +323,17 @@ def jpeg_decode(b: bytes, max_pixel_bytes: int = 1 << 27) -> tuple[int, int, int
         vmax = max(c[2] for c in comps)
         if not all(1 <= c[1] <= 2 and 1 <= c[2] <= 2 for c in comps):
             return None
-        if w * h * len(comps) > max_pixel_bytes:
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        # bound PEAK decode memory, not just output size: uint8 MCU-padded
+        # planes, plus (color path) two float64 full-resolution stages of
+        # 3 planes each (~48 B/px) and the uint8 output — so a crafted
+        # huge-but-valid frame yields a NULL row instead of an executor OOM
+        padded = sum(
+            (mcus_y * 8 * vi) * (mcus_x * 8 * hi) for _c, hi, vi, _t in comps
+        )
+        transient = padded + (51 * w * h if len(comps) == 3 else 2 * w * h)
+        if transient > max_pixel_bytes:
             return None
         # split the entropy stream into restart-interval chunks, removing
         # 0xFF00 byte stuffing
@@ -346,11 +362,9 @@ def jpeg_decode(b: bytes, max_pixel_bytes: int = 1 << 27) -> tuple[int, int, int
                 break
         chunks.append(bytes(cur))
         basis = _dct_basis()
-        mcus_x = -(-w // (8 * hmax))
-        mcus_y = -(-h // (8 * vmax))
         planes = {}
         for cid, hi, vi, _tq in comps:
-            planes[cid] = np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi), dtype=np.int16)
+            planes[cid] = np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi), dtype=np.uint8)
         rdr = _JpegBits(chunks[0])
         chunk_i = 0
         pred = {c[0]: 0 for c in comps}
@@ -390,13 +404,13 @@ def jpeg_decode(b: bytes, max_pixel_bytes: int = 1 << 27) -> tuple[int, int, int
                                 k += 1
                             block = np.array(coeffs, dtype=np.float64).reshape(8, 8)
                             pix = basis.T @ block @ basis + 128.0
-                            out = np.clip(np.rint(pix), 0, 255).astype(np.int16)
+                            out = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
                             y0 = (my * vi + by) * 8
                             x0 = (mx * hi + bx) * 8
                             planes[cid][y0 : y0 + 8, x0 : x0 + 8] = out
                 n_mcu += 1
         if len(comps) == 1:
-            return (w, h, 1, planes[comps[0][0]][:h, :w].astype(np.uint8).tobytes())
+            return (w, h, 1, planes[comps[0][0]][:h, :w].tobytes())
         # nearest-neighbor chroma upsample + JFIF YCbCr -> RGB
         kr, kgb, kgr, kb = _JFIF_RGB
         full = []

@@ -417,6 +417,9 @@ class _JpegBitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)
+        # drop emitted bits so the accumulator stays a machine int (an
+        # unmasked acc grows into a bignum -> quadratic encode cost)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:

@@ -516,8 +516,13 @@ def test_jpeg_mosaic_roundtrip_bit_exact():
         dec = jpeg_decode(payload)
         assert dec is not None, mid
         assert dec == c.pixels[mid], mid
-        layouts_seen.add((dec[2], len(payload) % 1))  # channels
-    assert {c0 for c0, _ in layouts_seen} == {1, 3}
+        # generation cycles (gray,444)/(color,444)/(color,420)/(color,422)
+        mode, sub = [("gray", "444"), ("color", "444"), ("color", "420"), ("color", "422")][int(mid[3:]) % 4]
+        assert dec[2] == (1 if mode == "gray" else 3), mid
+        layouts_seen.add((mode, sub))
+    assert layouts_seen == {
+        ("gray", "444"), ("color", "444"), ("color", "420"), ("color", "422")
+    }
 
 
 def test_jpeg_lossy_roundtrip_bounded():
