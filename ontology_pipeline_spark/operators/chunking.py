@@ -1,0 +1,81 @@
+"""Context-window chunking — fixed-size overlapping token windows.
+
+Engine extension for training-data preparation (no analog in the reference,
+which feeds whole transcripts to each pass and only truncates:
+src/extractor.py:448, src/prompts.py:230 — the `substring` semantics live in
+F9/doc_truncate_project).  This is the standard LLM pretraining prep: split
+each document into windows of `chunk_tokens` tokens advancing by
+`chunk_tokens - overlap`, so consecutive chunks share `overlap` tokens and
+no token is lost at a boundary.
+
+Scale design (100 TB corpus):
+
+* the whole operator is ONE narrow projection chain — tokenize -> window
+  starts (`sequence`) -> `explode` -> positional `slice` + `array_join` —
+  pure JVM expressions, zero shuffles, zero Python;
+* the token array is staged through its own projection before the explode
+  (lambda/slice re-evaluation pitfall — see dedup._shingles_of_tokens);
+* row fan-out is bounded by ceil(n_tokens / stride) per document, and each
+  output row carries only its own window's text, so executor memory per
+  task stays proportional to the input split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """(id_col, chunk_idx, chunk_start, n_tokens, chunk_text) — one row per
+    context window.
+
+    Window i covers token positions [i*stride, i*stride + chunk_tokens)
+    with stride = chunk_tokens - overlap.  The tail window is emitted only
+    if it contains at least one token the previous window does not
+    (otherwise it would be a strict sub-span of its predecessor).  Documents
+    with zero tokens produce no rows.  Deterministic: windows are a pure
+    function of the token array."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap} "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    staged = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        id_col,
+        "_t",
+        F.size("_t").alias("_n"),
+    )
+    starts = staged.filter(F.col("_n") > 0).select(
+        id_col,
+        "_t",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride))
+        ).alias("chunk_start"),
+    )
+    # drop a tail window that is a strict sub-span of its predecessor: the
+    # previous window already covers up to chunk_start + overlap
+    kept = starts.filter(
+        (F.col("chunk_start") == 0)
+        | (F.col("chunk_start") + F.lit(overlap) < F.col("_n"))
+    )
+    chunk = F.slice(F.col("_t"), F.col("chunk_start") + 1, chunk_tokens)
+    return kept.select(
+        id_col,
+        (F.col("chunk_start") / stride).cast("long").alias("chunk_idx"),
+        "chunk_start",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

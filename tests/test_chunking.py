@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import pytest
+
+from ontology_pipeline_spark.operators.chunking import chunk_documents
+
+
+def _doc(spark, n_tokens: int):
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_chunk_windows_and_overlap(spark):
+    out = sorted(
+        (r["chunk_idx"], r["chunk_start"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(_doc(spark, 10), chunk_tokens=4, overlap=1).collect()
+    )
+    # stride 3: windows at 0,3,6,9; start 9 covers only t9, but window at 6
+    # covers 6..9 already -> 9+overlap(1)=10 not < 10 -> dropped
+    assert out == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 3, 4, "t3 t4 t5 t6"),
+        (2, 6, 4, "t6 t7 t8 t9"),
+    ]
+
+
+def test_chunk_tail_partial_window_kept_when_it_adds_tokens(spark):
+    out = sorted(
+        (r["chunk_start"], r["n_tokens"]) for r in
+        chunk_documents(_doc(spark, 9), chunk_tokens=4, overlap=1).collect()
+    )
+    # windows 0..3, 3..6, 6..8 (tail has 3 tokens, adds t7,t8 beyond window 1)
+    assert out == [(0, 4), (3, 4), (6, 3)]
+
+
+def test_chunk_every_token_covered_no_redundant_tail(spark):
+    """Property over many lengths: the union of windows covers [0, n) exactly,
+    consecutive windows overlap by `overlap`, and no window is a sub-span of
+    its predecessor."""
+    for n in (1, 2, 5, 12, 13, 25, 100):
+        rows = sorted(
+            (r["chunk_start"], r["n_tokens"])
+            for r in chunk_documents(_doc(spark, n), chunk_tokens=5, overlap=2).collect()
+        )
+        covered = set()
+        prev_end = None
+        for start, k in rows:
+            end = start + k
+            covered.update(range(start, end))
+            if prev_end is not None:
+                assert start < prev_end  # overlap exists
+                assert end > prev_end  # adds at least one new token
+            prev_end = end
+        assert covered == set(range(n)), n
+
+
+def test_chunk_short_and_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=512, overlap=64).collect()
+    assert [(r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in out] == [
+        (1, 0, 3, "only three tokens")
+    ]
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_doc(spark, 5), chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(_doc(spark, 5), chunk_tokens=4, overlap=-1)
+
+
+def test_chunk_plan_is_narrow_and_python_free(spark):
+    """One projection chain: no shuffle (Exchange) and no Python eval in the
+    physical plan — the 100 TB contract for this operator."""
+    plan = (
+        chunk_documents(_doc(spark, 50), chunk_tokens=8, overlap=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
