@@ -70,3 +70,35 @@ def stratified_hash_sample(
         .filter(F.col(rn) <= n_per_group)
         .drop(rn)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group hash-threshold sampling — the domain-mixture resampling step
+    of a training-data pipeline (e.g. keep 100% of books, 30% of web, 5% of
+    boilerplate).  `rates` maps group value -> keep rate in [0, 1]; groups
+    absent from the map keep `default_rate` of their keys.
+
+    Same guarantees as `hash_sample`, per group: deterministic,
+    partition-invariant, group-preserving on the key, and superset-monotone
+    in every rate (raising one group's rate only ADDS that group's rows, so
+    re-mixing never redraws what was already selected).  The rate map is a
+    literal `CASE WHEN` expression tree (bounded vocabulary — domains/langs/
+    source labels), so the whole operator stays one narrow JVM filter with
+    no shuffle and no join."""
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for group {g!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    threshold = F.lit(int(default_rate * _MERSENNE))
+    for g, r in sorted(rates.items()):  # deterministic expression tree
+        threshold = F.when(
+            F.col(group_col) == F.lit(g), F.lit(int(r * _MERSENNE))
+        ).otherwise(threshold)
+    return df.filter(_hash_rank(F.col(key_col)) < threshold)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ontology_pipeline_spark.operators.sampling import (
@@ -132,3 +134,58 @@ def test_curation_chain_with_clean_and_structural_stages(spark):
     # the plan is the regression guard.
     plan = curated._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan
+
+
+def test_mixture_sample_per_group_rates_and_monotonicity(spark):
+    from ontology_pipeline_spark.operators.sampling import hash_sample, mixture_sample
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("books"), F.lit("code")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("source"),
+    )
+    out = mixture_sample(
+        docs, "source", {"books": 1.0, "web": 0.3}, key_col="doc_id"
+    )
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("books") == 1000          # rate 1.0 keeps everything
+    assert "code" not in by_src                  # default_rate 0 drops the group
+    assert 200 <= by_src.get("web", 0) <= 400    # ~30% of 1000
+    # per-group selection == plain hash_sample at that group's rate
+    web_mix = {r["doc_id"] for r in out.filter("source = 'web'").collect()}
+    web_ref = {
+        r["doc_id"]
+        for r in hash_sample(docs.filter("source = 'web'"), "doc_id", 0.3).collect()
+    }
+    assert web_mix == web_ref
+    # superset-monotone: raising web's rate only adds rows
+    wider = {
+        r["doc_id"]
+        for r in mixture_sample(
+            docs, "source", {"books": 1.0, "web": 0.6}, key_col="doc_id"
+        ).filter("source = 'web'").collect()
+    }
+    assert web_mix <= wider
+
+
+def test_mixture_sample_rejects_bad_rates(spark):
+    from ontology_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = spark.range(3).select(F.col("id").alias("doc_id"), F.lit("web").alias("source"))
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "source", {"web": 1.5}, key_col="doc_id")
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "source", {}, key_col="doc_id", default_rate=-0.1)
+
+
+def test_mixture_sample_plan_is_narrow(spark):
+    from ontology_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("web").alias("source"))
+    plan = (
+        mixture_sample(docs, "source", {"web": 0.5}, key_col="doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan, plan
