@@ -79,3 +79,74 @@ def chunk_documents(
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int,
+    group_col: str = "pack_group",
+    id_cols: tuple[str, str] = ("doc_id", "chunk_idx"),
+    tokens_col: str = "n_tokens",
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Greedy next-fit packing of chunks into token-budget bins — the
+    "sequence packing" step that turns variable-length chunks into
+    fixed-budget training examples with minimal padding waste.
+
+    Rows are packed per group in deterministic (id_cols) order: a chunk goes
+    into the current bin unless it would overflow `budget`, which opens the
+    next bin.  Output adds (group_col, pack_id, pack_fill) to the input
+    columns, where pack_id numbers bins within the group and pack_fill is
+    the bin's running token total after the row.  Chunks larger than
+    `budget` get a bin of their own (never dropped — the caller chose
+    chunk_tokens <= budget if that matters).
+
+    Scale design: packing is inherently sequential, so the parallel unit is
+    the GROUP — pass `n_groups` to derive a deterministic hash shard from
+    the first id column (or pre-assign `group_col` yourself, e.g. by
+    curriculum bucket).  Each group is one `applyInPandas` task: one
+    shuffle on the group key, linear scan inside, per-task memory bounded
+    by the group's rows.  Bins never span groups, so results are
+    partitioning-invariant and reproducible run-to-run."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    import pandas as pd
+
+    df = chunks
+    if group_col not in df.columns:
+        if n_groups is None:
+            raise ValueError(
+                f"either pre-assign {group_col!r} or pass n_groups for the "
+                "deterministic hash sharding"
+            )
+        df = df.withColumn(
+            group_col,
+            F.pmod(F.xxhash64(F.col(id_cols[0]).cast("string")), F.lit(n_groups)),
+        )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # StructType.add MUTATES in place — never call it on df.schema (that
+    # corrupts the DataFrame's cached schema object); build a fresh one
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("pack_id", LongType()), StructField("pack_fill", LongType())]
+    )
+    order = list(id_cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        pack_ids, fills = [], []
+        cur_id, cur_fill = 0, 0
+        for n in pdf[tokens_col]:
+            n = int(n)
+            if cur_fill and cur_fill + n > budget:
+                cur_id += 1
+                cur_fill = 0
+            cur_fill += n
+            pack_ids.append(cur_id)
+            fills.append(cur_fill)
+        pdf["pack_id"] = pack_ids
+        pdf["pack_fill"] = fills
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(pack, schema=schema)

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ontology_pipeline_spark.operators.chunking import chunk_documents
 
@@ -81,3 +82,55 @@ def test_chunk_plan_is_narrow_and_python_free(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_pack_chunks_budget_and_order(spark):
+    from ontology_pipeline_spark.operators.chunking import pack_chunks
+
+    rows = [(1, i, n) for i, n in enumerate([5, 3, 4, 2, 6, 1])]
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_idx long, n_tokens long")
+    out = sorted(
+        (r["pack_id"], r["chunk_idx"], r["pack_fill"])
+        for r in pack_chunks(
+            chunks.withColumn("pack_group", F.lit(0)), budget=8
+        ).collect()
+    )
+    # next-fit in chunk order: [5,3] fill 8 | [4,2] fill 6 | [6,1] fill 7
+    assert out == [
+        (0, 0, 5), (0, 1, 8),
+        (1, 2, 4), (1, 3, 6),
+        (2, 4, 6), (2, 5, 7),
+    ]
+
+
+def test_pack_chunks_oversize_and_determinism(spark):
+    from ontology_pipeline_spark.operators.chunking import pack_chunks
+
+    rows = [(d, 0, n) for d, n in [(1, 12), (2, 3), (3, 3), (4, 3)]]
+    chunks = spark.createDataFrame(rows, "doc_id long, chunk_idx long, n_tokens long")
+    out = pack_chunks(chunks, budget=8, n_groups=2).collect()
+    # oversize chunk (12 > 8) gets its own bin, never dropped
+    assert {r["doc_id"] for r in out} == {1, 2, 3, 4}
+    for r in out:
+        if r["doc_id"] == 1:
+            assert r["pack_fill"] == 12
+        else:
+            assert r["pack_fill"] <= 8
+    # partitioning-invariant: same bins regardless of input layout
+    a = sorted(map(tuple, out))
+    b = sorted(
+        map(tuple, pack_chunks(chunks.repartition(7), budget=8, n_groups=2).collect())
+    )
+    assert a == b
+
+
+def test_pack_chunks_requires_grouping(spark):
+    from ontology_pipeline_spark.operators.chunking import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 3)], "doc_id long, chunk_idx long, n_tokens long"
+    )
+    with pytest.raises(ValueError):
+        pack_chunks(chunks, budget=8)  # no pack_group, no n_groups
+    with pytest.raises(ValueError):
+        pack_chunks(chunks, budget=0, n_groups=2)
