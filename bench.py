@@ -85,12 +85,13 @@ def main() -> None:
             except Exception:
                 pass
 
-    # best of 2 per query: this host shows bursty interference (identical
-    # runs vary >2x), so a single sample measures the VM, not the engine
+    # best of 3 per query (was 2; aligned with the KG section in round 3):
+    # this host shows bursty interference (identical runs vary >2x), so a
+    # single sample measures the VM's throttle state, not the engine
     timings: dict[str, float] = {}
     for name in headline:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
