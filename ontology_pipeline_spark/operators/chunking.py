@@ -61,9 +61,11 @@ def chunk_documents(
         id_col,
         "_t",
         "_n",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride))
-        ).alias("chunk_start"),
+        # posexplode: pos IS chunk_idx (no division round-trip needed);
+        # _n - 1 >= 0 is guaranteed by the filter above
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+        ).alias("chunk_idx", "chunk_start"),
     )
     # drop a tail window that is a strict sub-span of its predecessor: the
     # previous window already covers up to chunk_start + overlap
@@ -74,7 +76,7 @@ def chunk_documents(
     chunk = F.slice(F.col("_t"), F.col("chunk_start") + 1, chunk_tokens)
     return kept.select(
         id_col,
-        (F.col("chunk_start") / stride).cast("long").alias("chunk_idx"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
         "chunk_start",
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
@@ -131,9 +133,25 @@ def pack_chunks(
         list(df.schema.fields)
         + [StructField("pack_id", LongType()), StructField("pack_fill", LongType())]
     )
-    order = list(id_cols)
+    # total-order sort key (CLAUDE.md determinism convention): id_cols first,
+    # then every remaining column — if id_cols are not unique, ties still
+    # pack identically run-to-run because fully-identical rows are
+    # interchangeable and any difference participates in the ordering
+    order = list(id_cols) + [
+        c for c in df.columns if c not in id_cols and c != group_col
+    ]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[tokens_col].isna().any():
+            raise ValueError(
+                f"pack_chunks: NULL {tokens_col!r} in group "
+                f"{pdf[group_col].iloc[0]!r} — token counts must be non-null"
+            )
+        if (pdf[tokens_col] < 0).any():
+            raise ValueError(
+                f"pack_chunks: negative {tokens_col!r} in group "
+                f"{pdf[group_col].iloc[0]!r} — token counts must be >= 0"
+            )
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         pack_ids, fills = [], []
         cur_id, cur_fill = 0, 0

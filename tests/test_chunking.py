@@ -134,3 +134,20 @@ def test_pack_chunks_requires_grouping(spark):
         pack_chunks(chunks, budget=8)  # no pack_group, no n_groups
     with pytest.raises(ValueError):
         pack_chunks(chunks, budget=0, n_groups=2)
+
+
+def test_pack_chunks_fails_fast_on_null_or_negative_tokens(spark):
+    from ontology_pipeline_spark.operators.chunking import pack_chunks
+
+    bad_null = spark.createDataFrame(
+        [(1, 0, 3), (2, 0, None)], "doc_id long, chunk_idx long, n_tokens long"
+    )
+    with pytest.raises(Exception) as ei:
+        pack_chunks(bad_null, budget=8, n_groups=1).collect()
+    assert "non-null" in str(ei.value)
+    bad_neg = spark.createDataFrame(
+        [(1, 0, 3), (2, 0, -2)], "doc_id long, chunk_idx long, n_tokens long"
+    )
+    with pytest.raises(Exception) as ei:
+        pack_chunks(bad_neg, budget=8, n_groups=1).collect()
+    assert ">= 0" in str(ei.value)
