@@ -4,7 +4,9 @@ runs before anything else touches the data:
     documents -> (optional) clean: C4 line filter + PII redaction
               -> (optional) structural gate (Gopher repetition/shape flags)
               -> language gate -> quality floor -> exact dedup
-              -> transitive near-dup drop -> (optional) consistent sample
+              -> transitive near-dup drop
+              -> (optional) benchmark decontamination
+              -> (optional) consistent sample
 
 Every stage is an existing engine operator (text_analysis, dedup, sampling)
 composed declaratively; the chain stays shuffle-lean: the gates are narrow
@@ -24,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.clean import clean_documents
+from ..operators.decontaminate import decontaminate
 from ..operators.dedup import exact_dedup, minhash_dedup_clusters
 from ..operators.sampling import hash_sample
 from ..operators.text_analysis import lang_id, quality_score, structural_flags
@@ -43,6 +46,8 @@ def curate_documents(
     clean: bool = False,
     structural_gate: bool = False,
     max_bucket_size: int | None = 2048,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 13,
 ) -> DataFrame:
     """Surviving rows plus `lang_pred` and `quality` columns.
 
@@ -58,6 +63,12 @@ def curate_documents(
     into the same scan as the language/quality gates.  Both default OFF:
     the `curated_documents` golden replay pins the 5-stage chain, and the
     driver's synthetic corpus is already clean prose.
+
+    ``benchmark`` (a frame with `text_col`) appends the eval-set
+    decontamination stage (operators/decontaminate.py): survivors sharing
+    any ``decontaminate_n``-gram with the benchmark are dropped after dedup
+    and before the sample.  Default OFF for the same golden-pin reason as
+    the other optional stages.
 
     ``max_bucket_size`` caps LSH band buckets in the near-dup stage (hot
     buckets on boilerplate corpora make the candidate join quadratic; see
@@ -97,6 +108,13 @@ def curate_documents(
         F.col("doc_id").alias(id_col)
     )
     d = d.join(drop, id_col, "left_anti")
+    if benchmark is not None:
+        # decontaminate AFTER dedup (fewer docs to shingle) and BEFORE the
+        # sample (the rate should apply to the decontaminated population);
+        # broadcast gram semi-join, corpus side stays un-shuffled
+        d = decontaminate(
+            d, benchmark, id_col=id_col, text_col=text_col, n=decontaminate_n
+        )
     if sample_rate is not None:
         d = hash_sample(d, id_col, sample_rate)
     return d

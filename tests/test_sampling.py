@@ -189,3 +189,21 @@ def test_mixture_sample_plan_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_curation_chain_with_decontamination_stage(spark):
+    """benchmark= appends the eval-set decontamination stage after dedup:
+    survivors sharing a 7-gram with the benchmark are dropped, everything
+    else is identical to the default chain."""
+    from ontology_pipeline_spark.plans.curate import curate_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base = curate_documents(docs)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    # benchmark = the text of one surviving doc -> that doc (at least) drops
+    victim = min(base_ids)
+    bench = docs.filter(F.col("doc_id") == victim).select("text")
+    out = curate_documents(docs, benchmark=bench, decontaminate_n=7)
+    out_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert victim not in out_ids
+    assert out_ids < base_ids  # only drops, never adds
