@@ -691,3 +691,71 @@ def embedding_lsh_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication report: (id_col, span_start, span_end,
+    n_dup_grams) — maximal token-position spans of each document covered by
+    word n-grams that occur in at least `min_docs` DISTINCT documents.  The
+    token-level analog of the suffix-array substring dedup used for LLM
+    pretraining corpora (any >= n-token run shared across documents is
+    flagged; span_end is exclusive).
+
+    Scale design (100 TB):
+
+    * positions are (doc, pos, xxhash64(gram)) from one narrow
+      posexplode scan — gram TEXT never shuffles, only 8-byte hashes;
+    * hot grams (boilerplate shared by millions of docs) meet a groupBy
+      count, not a window, so no reducer buffers a hot gram's occurrence
+      list; the count table joins back on the hash (AQE skew-join splits
+      the hot keys);
+    * span merging is per-document: one shuffle on the doc id, then the
+      classic running-max-end / cumulative-new-span window pair, linear in
+      that document's flagged positions.
+
+    A random 64-bit hash collision could bridge two unrelated grams
+    (flagging ~n spurious tokens); at corpus scales where that matters the
+    verification join on gram text is the documented extension point."""
+    staged = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_t")
+    )
+    grams = staged.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.slice(
+                    F.col("_t"), 1, F.greatest(F.size("_t") - F.lit(n - 1), F.lit(0))
+                ),
+                lambda _x, i: F.xxhash64(F.array_join(F.slice(F.col("_t"), i + 1, n), " ")),
+            )
+        ).alias("pos", "gh"),
+    )
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gh")
+    )
+    flagged = grams.join(hot, "gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = flagged.withColumn(
+        "_new", (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("long")
+    ).withColumn("_grp", F.sum("_new").over(w))
+    return (
+        marked.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("_grp")
+    )

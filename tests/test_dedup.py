@@ -306,3 +306,53 @@ def test_embedding_lsh_pairs_empty_and_null_safe(spark):
     got = {(r["id_a"], r["id_b"]) for r in embedding_lsh_pairs(vecs, threshold=0.99).collect()}
     want = {(r["id_a"], r["id_b"]) for r in embedding_lsh_pairs(vecs, threshold=0.99, dim=3).collect()}
     assert got == want == {(0, 1)}
+
+
+def test_duplicated_spans_cross_doc_runs(spark):
+    """Exact-substring dedup report: token runs shared across >= 2 docs are
+    flagged as merged maximal spans; unshared and within-doc-only repeats
+    are not."""
+    from ontology_pipeline_spark.operators.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} outro"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing in common with anybody at all whatsoever"),
+            # doc 4 repeats ITS OWN 5-gram twice but shares it with no one
+            (4, "aa bb cc dd ee ff aa bb cc dd ee ff"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicated_spans(docs, n=5, min_docs=2).collect()
+    }
+    # doc1: shared run occupies tokens 3..12 (inclusive) -> 6 flagged 5-gram
+    # positions 3..8, merged span [3, 13)
+    assert out[1] == (3, 13, 6)
+    # doc2: run at tokens 0..9 -> positions 0..5, span [0, 10)
+    assert out[2] == (0, 10, 6)
+    assert 3 not in out and 4 not in out
+
+
+def test_duplicated_spans_merges_overlapping_and_distinct_runs(spark):
+    from ontology_pipeline_spark.operators.dedup import duplicated_spans
+
+    a = "one two three four five"          # run A: 5 tokens
+    b = "six seven eight nine ten"         # run B: 5 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} XX {b}"),             # A at 0..4, B at 6..10 -> 2 spans
+            (2, f"{a} filler filler"),
+            (3, f"padding {b}"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, n=5, min_docs=2)
+        .filter("doc_id = 1").collect()
+    )
+    assert spans == [(0, 5), (6, 11)]
