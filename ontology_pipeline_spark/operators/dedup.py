@@ -736,6 +736,11 @@ def duplicated_spans(
             )
         ).alias("pos", "gh"),
     )
+    # pin: `grams` (the expensive tokenize->hash->posexplode stage) feeds
+    # BOTH the hot-gram aggregate and the semi-join left side — without the
+    # pin Catalyst re-executes the whole scan per consumer (multi-consumer
+    # rule, CLAUDE.md)
+    grams = grams.localCheckpoint(eager=False)
     hot = (
         grams.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("_nd"))

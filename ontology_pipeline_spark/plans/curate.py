@@ -111,7 +111,12 @@ def curate_documents(
     if benchmark is not None:
         # decontaminate AFTER dedup (fewer docs to shingle) and BEFORE the
         # sample (the rate should apply to the decontaminated population);
-        # broadcast gram semi-join, corpus side stays un-shuffled
+        # broadcast gram semi-join, corpus side stays un-shuffled.  Pin
+        # first: decontaminate consumes `d` twice (gram side + final
+        # anti-join), and the unpinned near-dup anti-join subtree would
+        # re-execute per consumer (multi-consumer rule, same as the pin
+        # above).
+        d = d.localCheckpoint(eager=False)
         d = decontaminate(
             d, benchmark, id_col=id_col, text_col=text_col, n=decontaminate_n
         )

@@ -1,16 +1,21 @@
 """Training-prep operator throughput + scaling probe -> BENCH/training_prep.md.
 
 The two-parallelism-level evidence pattern (bench_scaling.py / media_probe.py)
-applied to the round-3 training-data-preparation operators over a 1M-page
-executor-generated corpus:
+applied to the round-3 training-data-preparation operators over an
+executor-generated page corpus (default 200k pages; override with
+SPARK_GRAFT_PREP_N, filter chains with SPARK_GRAFT_PREP_CHAINS):
 
 * chunk      — chunk_documents(text, 128 tokens, overlap 16), forced through
                an aggregate over n_tokens AND chunk_text so column pruning
                cannot skip the window/join work;
 * chunk+pack — the same chunks greedily packed into 512-token bins
                (pack_chunks, hash-sharded groups = 4x cores);
-* decontam   — contamination_hits against a benchmark slice (every 997th
-               page's text), the broadcast gram semi-join path.
+* decontam   — contamination_hits against a pseudo-random 1/997 hash slice
+               of the pages (pmod(xxhash64(url), 997) == 0) as the
+               benchmark, the broadcast gram semi-join path.
+
+Writes BENCH/training_prep_latest.md — the curated evidence in
+BENCH/training_prep.md is hand-merged only (bench_scaling.py protocol).
 
 Usage:
     python scripts/training_prep_probe.py              # full probe, writes md
@@ -149,7 +154,7 @@ def main() -> None:
     ceiling = max(ceilings)
     r8, r32 = results[8], results[32]
     lines = [
-        "# BENCH/training_prep — chunk / pack / decontaminate scaling (round 3)",
+        "# BENCH/training_prep_latest — probe run (hand-merge improvements into the curated training_prep.md)",
         "",
         f"Corpus: {r8['n_rows']} executor-generated pages ({r8['mb']} MB text), "
         f"seed {SEED}; two interleaved visits per level, best of {RUNS} per visit "
@@ -176,7 +181,7 @@ def main() -> None:
             f"- {name}: local[8] {r8['chains'][name]['times']}, "
             f"local[32] {r32['chains'][name]['times']}"
         )
-    path = os.path.join(REPO, "BENCH", "training_prep.md")
+    path = os.path.join(REPO, "BENCH", "training_prep_latest.md")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {path}")
