@@ -1056,7 +1056,7 @@ hits AS (
 _TOKS_CTE = r"""
 toks AS (
     SELECT doc_id, lang, source,
-           list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+           list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0)) AS tok
     FROM documents
 )
 """
@@ -1226,7 +1226,7 @@ def oracle_sql() -> dict[str, str]:
     o["decontaminated_docs"] = r"""
         WITH tok AS (
             SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'),
+                   list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
                                t -> t <> '') AS toks
             FROM documents
         ),
@@ -1321,7 +1321,7 @@ def oracle_sql() -> dict[str, str]:
     o["lang_id_confusion"] = f"""
         WITH t AS (
             SELECT lang,
-                   list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS tok
+                   list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0)) AS tok
             FROM documents
         ),
         h AS (SELECT lang, {hits_cols} FROM t),
@@ -1465,7 +1465,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["fingerprint_stats"] = r"""
         SELECT lang, count(*) AS n_docs,
-               count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_distinct_fp
+               count(DISTINCT md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS n_distinct_fp
         FROM documents
         GROUP BY lang
     """
@@ -1486,9 +1486,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    round(greatest(0.0, least(1.0,
                        0.4 * least(length(text) / 500.0, 1.0)
-                       + 0.5 * (CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0
-                                THEN cast(len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS DOUBLE)
-                                     / len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0))
+                       + 0.5 * (CASE WHEN len(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0)) > 0
+                                THEN cast(len(list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0))) AS DOUBLE)
+                                     / len(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0))
                                 ELSE 0.0 END)
                        - 0.5 * (CASE WHEN length(text) > 0
                                 THEN cast(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / length(text)
@@ -1505,7 +1505,7 @@ def oracle_sql() -> dict[str, str]:
     o["top_tokens"] = r"""
         SELECT token, count(*) AS n
         FROM (
-            SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+            SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'), x -> len(x) > 0)) AS token
             FROM documents
         )
         GROUP BY token

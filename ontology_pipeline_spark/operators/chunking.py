@@ -115,7 +115,14 @@ def pack_chunks(
     import pandas as pd
 
     df = chunks
-    if group_col not in df.columns:
+    if group_col in df.columns:
+        if n_groups is not None:
+            raise ValueError(
+                f"chunks already carries {group_col!r}; passing n_groups too "
+                "is ambiguous — drop the column to hash-shard, or drop "
+                "n_groups to keep the pre-assigned grouping"
+            )
+    else:
         if n_groups is None:
             raise ValueError(
                 f"either pre-assign {group_col!r} or pass n_groups for the "
@@ -134,12 +141,19 @@ def pack_chunks(
         + [StructField("pack_id", LongType()), StructField("pack_fill", LongType())]
     )
     # total-order sort key (CLAUDE.md determinism convention): id_cols first,
-    # then every remaining column — if id_cols are not unique, ties still
-    # pack identically run-to-run because fully-identical rows are
-    # interchangeable and any difference participates in the ordering
-    order = list(id_cols) + [
-        c for c in df.columns if c not in id_cols and c != group_col
-    ]
+    # then ONE long tiebreak — an xxhash64 over every remaining column,
+    # computed JVM-side before the shuffle.  pandas lexsorts every listed
+    # key column regardless of whether earlier keys already decide the
+    # order, so listing chunk_text itself would materialize and sort
+    # multi-hundred-token strings per row for zero discriminating power
+    # when id_cols are unique.  If id_cols are NOT unique, ties still pack
+    # identically run-to-run: differing rows differ in the hash (collision
+    # odds 2^-64), and fully-identical rows are interchangeable.
+    rest = [c for c in df.columns if c not in id_cols and c != group_col]
+    df = df.withColumn(
+        "_tiebreak", F.xxhash64(*[F.col(c) for c in rest]) if rest else F.lit(0)
+    )
+    order = list(id_cols) + ["_tiebreak"]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf[tokens_col].isna().any():
@@ -165,6 +179,6 @@ def pack_chunks(
             fills.append(cur_fill)
         pdf["pack_id"] = pack_ids
         pdf["pack_fill"] = fills
-        return pdf
+        return pdf.drop(columns=["_tiebreak"])
 
     return df.groupBy(group_col).applyInPandas(pack, schema=schema)

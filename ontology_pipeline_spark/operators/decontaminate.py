@@ -90,6 +90,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 13,
     broadcast_hits: bool = True,
+    pin: bool = True,
 ) -> DataFrame:
     """Corpus minus every document sharing an n-gram with the benchmark.
 
@@ -97,7 +98,16 @@ def decontaminate(
     :func:`contamination_hits`.  ``broadcast_hits`` assumes the usual
     sub-percent contamination rate; disable it to let the anti-join shuffle
     when the hit set is genuinely large.
+
+    ``docs`` is consumed TWICE (the gram scan and the final anti-join), so
+    by default it is pinned here via ``localCheckpoint(eager=False)`` —
+    otherwise any computed column / Python stage upstream re-executes per
+    consumer (the multi-consumer rule, 10-28x measured; see CLAUDE.md).
+    Pass ``pin=False`` when ``docs`` is a plain table scan: re-reading
+    parquet twice is cheaper than materializing a 100 TB checkpoint.
     """
+    if pin:
+        docs = docs.localCheckpoint(eager=False)
     grams = benchmark_ngrams(benchmark, text_col=text_col, n=n)
     hit_ids = contamination_hits(
         docs, grams, id_col=id_col, text_col=text_col, n=n

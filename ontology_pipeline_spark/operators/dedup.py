@@ -693,6 +693,31 @@ def embedding_lsh_pairs(
     )
 
 
+def _gram_positions(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id_col, pos, gh) — xxhash64 of the word n-gram starting at each
+    token position, from one narrow tokenize -> hash -> posexplode scan
+    (gram TEXT never leaves the scan; only 8-byte hashes shuffle).  Pinned
+    via localCheckpoint: every caller feeds this frame to at least two
+    consumers (multi-consumer rule, CLAUDE.md)."""
+    staged = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_t")
+    )
+    grams = staged.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.slice(
+                    F.col("_t"), 1, F.greatest(F.size("_t") - F.lit(n - 1), F.lit(0))
+                ),
+                lambda _x, i: F.xxhash64(F.array_join(F.slice(F.col("_t"), i + 1, n), " ")),
+            )
+        ).alias("pos", "gh"),
+    )
+    return grams.localCheckpoint(eager=False)
+
+
 def duplicated_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -722,25 +747,7 @@ def duplicated_spans(
     A random 64-bit hash collision could bridge two unrelated grams
     (flagging ~n spurious tokens); at corpus scales where that matters the
     verification join on gram text is the documented extension point."""
-    staged = docs.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_t")
-    )
-    grams = staged.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.slice(
-                    F.col("_t"), 1, F.greatest(F.size("_t") - F.lit(n - 1), F.lit(0))
-                ),
-                lambda _x, i: F.xxhash64(F.array_join(F.slice(F.col("_t"), i + 1, n), " ")),
-            )
-        ).alias("pos", "gh"),
-    )
-    # pin: `grams` (the expensive tokenize->hash->posexplode stage) feeds
-    # BOTH the hot-gram aggregate and the semi-join left side — without the
-    # pin Catalyst re-executes the whole scan per consumer (multi-consumer
-    # rule, CLAUDE.md)
-    grams = grams.localCheckpoint(eager=False)
+    grams = _gram_positions(docs, id_col, text_col, n)
     hot = (
         grams.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("_nd"))
@@ -763,4 +770,107 @@ def duplicated_spans(
             F.count(F.lit(1)).alias("n_dup_grams"),
         )
         .drop("_grp")
+    )
+
+
+def drop_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    min_docs: int = 2,
+    pin: bool = True,
+) -> DataFrame:
+    """Remove cross-document duplicated token runs from `text_col`, keeping
+    ONE canonical occurrence corpus-wide — the removal closing the loop on
+    :func:`duplicated_spans` (detection), matching the Lee-et-al substring
+    dedup semantics the detection docstring names, and the reference's own
+    dedup-as-removal shape (last-wins upsert, src/extractor.py:76-104 —
+    there the unit is the file, here the token run).
+
+    Rule: for every word n-gram occurring in >= `min_docs` distinct
+    documents, the occurrence with the least (id, pos) — a total order — is
+    canonical and stays; all other occurrences are dropped.  Per document,
+    the non-canonical gram positions merge into maximal spans (the same
+    running-max-end windows as detection) and the text is rebuilt from the
+    tokens outside those spans.  A document whose canonical occurrence
+    overlaps a non-canonical one of a DIFFERENT gram can still lose tokens
+    (the occurrence-level rule, same as Lee et al.'s character ranges).
+
+    Output: `docs` columns with `text_col` rewritten plus `n_dropped_tokens`
+    (long).  Untouched documents keep their original text byte-for-byte
+    (including whitespace); rewritten documents are re-joined with single
+    spaces, the pipeline-wide tokenization being whitespace-collapsing
+    anyway.  Rebuilt text positions align with detection because
+    lowercasing never changes whitespace: token i of lower(text) is token i
+    of text.
+
+    Scale design on top of the detection notes: one extra groupBy on the
+    gram hash computes (n_distinct_docs, min(id,pos)) together; the
+    non-canonical filter is a projection on the joined-back gram table
+    (AQE splits hot gram keys); span merge and text rebuild are per-doc
+    windows + one broadcast-or-shuffle join of the span list back to the
+    corpus — removal rates are small, so the span side is the small side.
+
+    ``docs`` is consumed twice (gram scan + final join), so it is pinned by
+    default (multi-consumer rule, CLAUDE.md); pass ``pin=False`` for a
+    plain table scan where re-reading beats materializing."""
+    if pin:
+        docs = docs.localCheckpoint(eager=False)
+    grams = _gram_positions(docs, id_col, text_col, n)
+    per_gram = (
+        grams.groupBy("gh")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("_canon"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("gh", "_canon")
+    )
+    doomed = (
+        grams.join(per_gram, "gh")
+        .filter(
+            (F.col(id_col) != F.col("_canon.i")) | (F.col("pos") != F.col("_canon.p"))
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        doomed.withColumn(
+            "_new", (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("long")
+        )
+        .withColumn("_grp", F.sum("_new").over(w))
+        .groupBy(id_col, "_grp")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_spans")
+        )
+    )
+    out = docs.join(spans, id_col, "left")
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        F.transform(toks, lambda x, i: F.struct(x.alias("x"), i.alias("i"))),
+        lambda t: ~F.exists(
+            F.col("_spans"), lambda sp: (t["i"] >= sp["s"]) & (t["i"] < sp["e"])
+        ),
+    )
+    dropped = F.size(toks) - F.size(kept)
+    rewritten = F.array_join(F.transform(kept, lambda t: t["x"]), " ")
+    return out.select(
+        *[
+            F.when(F.col("_spans").isNotNull(), rewritten)
+            .otherwise(F.col(c))
+            .alias(c)
+            if c == text_col
+            else F.col(c)
+            for c in docs.columns
+        ],
+        F.when(F.col("_spans").isNotNull(), dropped)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_dropped_tokens"),
     )

@@ -12,8 +12,11 @@ YUV4MPEG2 streams into per-frame planes for `video_stats` and real
 `sample_decoded_frames`; `jpeg_decode` is a real baseline-JPEG entropy
 decoder (DHT Huffman, DC prediction, AC run-length, dequantize, float IDCT,
 4:4:4/4:2:2/4:2:0 chroma upsampling, JFIF YCbCr->RGB) — progressive and
-arithmetic-coded JPEG return None (codec seam).  Undecodable payloads yield
-NULLs, never raise, so a corrupt shard cannot kill a 100 TB scan.
+arithmetic-coded JPEG return None from `jpeg_decode` itself, but the
+featurize stage classifies them via `jpeg_unsupported_reason` and raises at
+the codec seam so valid-but-unsupported streams are never mistaken for
+corrupt bytes.  Undecodable payloads yield NULLs, never raise, so a corrupt
+shard cannot kill a 100 TB scan.
 
 Scale note: the decoder is pure Python by necessity of this container; the
 mapInPandas stages are narrow (binary bytes never leave the executor, one
@@ -24,8 +27,9 @@ pass, no shuffle), so a real deployment swaps `png_decode` for a C codec
   features (byte-histogram moments) for any payload kind;
 * `stub=False` computes REAL features dispatched on the container — PNG and
   baseline-JPEG pixel stats, PCM WAV sample stats, Y4M plane stats — and
-  raises NotImplementedError only for compressed video containers
-  (ISO-BMFF) at the codec seam, exactly where a full decoder plugs in.
+  raises NotImplementedError only at the codec seams: compressed video
+  containers (ISO-BMFF) and valid progressive/arithmetic/12-bit JPEG,
+  exactly where a full decoder plugs in.
 """
 
 from __future__ import annotations
@@ -318,6 +322,14 @@ def jpeg_decode(b: bytes, max_pixel_bytes: int = 1 << 27) -> tuple[int, int, int
         if frame is None or scan is None:
             return None
         w, h, comps = frame
+        if len(comps) == 1:
+            # T.81 A.2: a single-component scan is non-interleaved — one
+            # data unit per MCU regardless of the declared hi/vi, and the
+            # component samples the full grid.  Honoring declared 2x2
+            # factors here would garble valid grayscale streams (libjpeg
+            # normalizes the same way).
+            cid, _hi, _vi, tq = comps[0]
+            comps = [(cid, 1, 1, tq)]
         sel, pos = scan
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
@@ -546,6 +558,54 @@ def audio_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def jpeg_unsupported_reason(b: bytes) -> str | None:
+    """Classify a VALID-but-unsupported JPEG: walks the marker list to the
+    first frame header and names what a fuller codec would be needed for —
+    "progressive" (SOF2/6/10/14), "lossless" (SOF3/7/11/15), "arithmetic"
+    (SOF9/13), "12-bit precision", or ">2x2 sampling".  Returns None for
+    baseline streams `jpeg_decode` handles AND for corrupt/non-JPEG bytes:
+    the caller distinguishes needs-codec (raise at the seam) from corrupt
+    (NULL row) — the distinction ADVICE r3 asked for, so a mostly-
+    progressive corpus fails loudly instead of silently yielding NULLs."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(b):
+            return None
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = (b[i + 2] << 8) | b[i + 3]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+                return "progressive"
+            if marker in (0xC3, 0xC7, 0xCB, 0xCF):
+                return "lossless"
+            if marker in (0xC9, 0xCD):
+                return "arithmetic-coded"
+            seg = b[i + 4 : i + 2 + seg_len]
+            if len(seg) != seg_len - 2 or len(seg) < 6:
+                return None  # corrupt frame header, not a codec gap
+            if seg[0] != 8:
+                return "12-bit precision"
+            nc = seg[5]
+            if nc == 1 or len(seg) < 6 + 3 * nc:
+                return None  # single-component factors are normalized to 1x1
+            for k in range(nc):
+                hv = seg[7 + 3 * k]
+                if (hv >> 4) > 2 or (hv & 0xF) > 2:
+                    return ">2x2 sampling factors"
+            return None
+        i += 2 + seg_len
+    return None
+
+
 def _decode_and_featurize(payload: bytes | None, kind: str, stub: bool) -> list[float] | None:
     if payload is None:
         return None
@@ -591,11 +651,17 @@ def _decode_and_featurize(payload: bytes | None, kind: str, stub: bool) -> list[
                 round(ysum / (nf * w * h), 6),
             ]
         # corrupt-vs-unsupported distinction (the never-raise contract): a
-        # recognizable container that needs a real codec (ISO-BMFF video)
-        # raises at this documented seam; anything else — corrupt stream,
-        # garbage bytes, progressive/arithmetic JPEG (image_decode returns
-        # None for those) — yields a NULL feature so one bad shard cannot
-        # kill the scan
+        # recognizable container that needs a real codec — ISO-BMFF video,
+        # or a VALID progressive/arithmetic/12-bit JPEG — raises at this
+        # documented seam; anything else (corrupt stream, garbage bytes)
+        # yields a NULL feature so one bad shard cannot kill the scan
+        jpeg_gap = jpeg_unsupported_reason(payload)
+        if jpeg_gap is not None:
+            raise NotImplementedError(
+                f"valid JPEG stream needs a fuller codec ({jpeg_gap}): "
+                "jpeg_decode covers baseline sequential Huffman 8-bit "
+                "frames — plug libjpeg-turbo in here for the rest"
+            )
         if payload[4:8] == b"ftyp":
             raise NotImplementedError(
                 "real decode implemented for PNG and baseline JPEG pixels, "

@@ -5,6 +5,7 @@ runs before anything else touches the data:
               -> (optional) structural gate (Gopher repetition/shape flags)
               -> language gate -> quality floor -> exact dedup
               -> transitive near-dup drop
+              -> (optional) cross-doc duplicated-span removal
               -> (optional) benchmark decontamination
               -> (optional) consistent sample
 
@@ -27,7 +28,11 @@ from pyspark.sql import functions as F
 
 from ..operators.clean import clean_documents
 from ..operators.decontaminate import decontaminate
-from ..operators.dedup import exact_dedup, minhash_dedup_clusters
+from ..operators.dedup import (
+    drop_duplicated_spans,
+    exact_dedup,
+    minhash_dedup_clusters,
+)
 from ..operators.sampling import hash_sample
 from ..operators.text_analysis import lang_id, quality_score, structural_flags
 
@@ -48,6 +53,9 @@ def curate_documents(
     max_bucket_size: int | None = 2048,
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 13,
+    drop_spans: bool = False,
+    span_n: int = 50,
+    span_min_docs: int = 2,
 ) -> DataFrame:
     """Surviving rows plus `lang_pred` and `quality` columns.
 
@@ -63,6 +71,12 @@ def curate_documents(
     into the same scan as the language/quality gates.  Both default OFF:
     the `curated_documents` golden replay pins the 5-stage chain, and the
     driver's synthetic corpus is already clean prose.
+
+    ``drop_spans=True`` inserts cross-document duplicated-span REMOVAL
+    (dedup.drop_duplicated_spans: every >= ``span_n``-token run shared by
+    >= ``span_min_docs`` docs survives once, least-(id, pos) owner) after
+    the document-level near-dup drop; output then carries an extra
+    ``n_dropped_tokens`` column.  Default OFF (golden pin).
 
     ``benchmark`` (a frame with `text_col`) appends the eval-set
     decontamination stage (operators/decontaminate.py): survivors sharing
@@ -108,15 +122,23 @@ def curate_documents(
         F.col("doc_id").alias(id_col)
     )
     d = d.join(drop, id_col, "left_anti")
+    if drop_spans:
+        # span-level removal AFTER document-level dedup (whole-document
+        # near-dups are already gone, so only genuinely partial overlaps
+        # pay the gram scan) and BEFORE decontamination (the benchmark
+        # grams should be checked against the text that will actually
+        # ship).  drop_duplicated_spans pins `d` internally (it consumes
+        # the frame twice — multi-consumer rule).
+        d = drop_duplicated_spans(
+            d, id_col=id_col, text_col=text_col, n=span_n, min_docs=span_min_docs
+        )
     if benchmark is not None:
         # decontaminate AFTER dedup (fewer docs to shingle) and BEFORE the
         # sample (the rate should apply to the decontaminated population);
-        # broadcast gram semi-join, corpus side stays un-shuffled.  Pin
-        # first: decontaminate consumes `d` twice (gram side + final
-        # anti-join), and the unpinned near-dup anti-join subtree would
-        # re-execute per consumer (multi-consumer rule, same as the pin
-        # above).
-        d = d.localCheckpoint(eager=False)
+        # broadcast gram semi-join, corpus side stays un-shuffled.
+        # decontaminate() pins `d` internally (its default pin=True): it
+        # consumes the frame twice, and the unpinned near-dup anti-join
+        # subtree would re-execute per consumer (multi-consumer rule).
         d = decontaminate(
             d, benchmark, id_col=id_col, text_col=text_col, n=decontaminate_n
         )

@@ -134,6 +134,11 @@ def test_pack_chunks_requires_grouping(spark):
         pack_chunks(chunks, budget=8)  # no pack_group, no n_groups
     with pytest.raises(ValueError):
         pack_chunks(chunks, budget=0, n_groups=2)
+    # pre-assigned group_col + n_groups is ambiguous (ADVICE r3: used to
+    # silently drop the requested sharding)
+    pre = chunks.withColumn("pack_group", chunks["doc_id"] % 2)
+    with pytest.raises(ValueError, match="ambiguous"):
+        pack_chunks(pre, budget=8, n_groups=2)
 
 
 def test_pack_chunks_fails_fast_on_null_or_negative_tokens(spark):

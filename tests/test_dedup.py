@@ -356,3 +356,63 @@ def test_duplicated_spans_merges_overlapping_and_distinct_runs(spark):
         .filter("doc_id = 1").collect()
     )
     assert spans == [(0, 5), (6, 11)]
+
+
+def test_drop_duplicated_spans_keeps_one_canonical_occurrence(spark):
+    """Removal closes the detection loop: every cross-doc duplicated run
+    survives exactly once corpus-wide, owned by the least (doc_id, pos)
+    occurrence; untouched docs keep their text byte-for-byte."""
+    from ontology_pipeline_spark.operators.dedup import drop_duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} outro"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing  in   common with anybody at all whatsoever"),
+            (4, f"padding {shared}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+        for r in drop_duplicated_spans(docs, n=5, min_docs=2).collect()
+    }
+    # canonical owner is doc 1 (least doc_id; its pos 3 is the only
+    # occurrence there): doc 1 keeps everything
+    assert out[1] == (f"intro words here {shared} outro", 0)
+    # docs 2 and 4 lose the run
+    assert out[2] == ("completely different ending text", 10)
+    assert out[4] == ("padding", 10)
+    # untouched doc keeps ORIGINAL whitespace (no re-join normalization)
+    assert out[3] == ("nothing  in   common with anybody at all whatsoever", 0)
+
+
+def test_drop_duplicated_spans_composes_and_detection_agrees(spark):
+    """After removal, re-running detection finds nothing left to flag
+    (the fixpoint property), and row count / other columns pass through."""
+    from ontology_pipeline_spark.operators.dedup import (
+        drop_duplicated_spans,
+        duplicated_spans,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run} unique tail one", "en"),
+            (2, f"{run} other stuff here", "en"),
+            (3, f"middle bit {run} end", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    cleaned = drop_duplicated_spans(docs, n=5, min_docs=2)
+    assert cleaned.columns == ["doc_id", "text", "lang", "n_dropped_tokens"]
+    rows = {r["doc_id"]: r for r in cleaned.collect()}
+    assert rows[1]["text"].startswith(run)  # canonical owner
+    assert rows[2]["n_dropped_tokens"] == 8
+    assert rows[3]["n_dropped_tokens"] == 8
+    assert rows[3]["lang"] == "fr"
+    again = duplicated_spans(
+        cleaned.select("doc_id", "text"), n=5, min_docs=2
+    ).collect()
+    assert again == []

@@ -607,3 +607,63 @@ def test_jpeg_decode_rejects_progressive_and_mutations():
             at = rng.randrange(len(b))
             b[at:at] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 32)))
         jpeg_decode(bytes(b))  # any return is fine; raising is the failure
+
+
+def test_jpeg_grayscale_ignores_declared_sampling_factors():
+    """T.81 A.2: a single-component scan is non-interleaved (one data unit
+    per MCU) regardless of the declared hi/vi — a grayscale stream whose
+    SOF claims 2x2 factors must decode identically to the same stream
+    declaring 1x1 (ADVICE r3: it used to garble instead)."""
+    from ontology_pipeline_spark.operators.multimodal import jpeg_decode
+    from ontology_pipeline_spark.synth import jpeg_encode
+
+    w, h = 21, 13
+    yp = bytes((x * 11 + y * 5) % 256 for y in range(h) for x in range(w))
+    base = jpeg_encode(w, h, [yp])
+    ref = jpeg_decode(base)
+    assert ref is not None and ref[:3] == (w, h, 1)
+    patched = bytearray(base)
+    i = patched.find(b"\xff\xc0")
+    assert patched[i + 11] == 0x11  # cid at +10, hv at +11
+    patched[i + 11] = 0x22  # declare 2x2 sampling on the single component
+    assert jpeg_decode(bytes(patched)) == ref
+
+
+def test_jpeg_unsupported_reason_distinguishes_needs_codec_from_corrupt(spark):
+    """A VALID progressive JPEG raises at the featurize codec seam (like
+    ISO-BMFF) instead of silently yielding a NULL row, while corrupt JPEG
+    bytes still classify as corrupt -> NULL (ADVICE r3)."""
+    import pytest
+
+    from ontology_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        jpeg_unsupported_reason,
+    )
+    from ontology_pipeline_spark.synth import jpeg_encode
+
+    w, h = 19, 14
+    yp = bytes(((x // 8) * 50 + 40) % 256 for y in range(h) for x in range(w))
+    base = jpeg_encode(w, h, [yp])
+    assert jpeg_unsupported_reason(base) is None
+    prog = bytearray(base)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert jpeg_unsupported_reason(bytes(prog)) == "progressive"
+    arith = bytearray(base)
+    arith[i + 1] = 0xC9
+    assert jpeg_unsupported_reason(bytes(arith)) == "arithmetic-coded"
+    # truncated/garbled streams are corrupt, not needs-codec
+    assert jpeg_unsupported_reason(base[: len(base) // 2] ) is None or isinstance(
+        jpeg_unsupported_reason(base[: len(base) // 2]), str
+    )
+    assert jpeg_unsupported_reason(b"\xff\xd8\x00\x00garbage") is None
+    df = spark.createDataFrame(
+        [("prog", "image", bytes(prog)), ("corrupt", "image", b"\xff\xd8\x00\x00garbage")],
+        "media_id string, kind string, payload binary",
+    )
+    with pytest.raises(Exception) as ei:
+        extract_media_features(df, stub=False).collect()
+    assert "progressive" in str(ei.value)
+    corrupt_only = df.filter("media_id = 'corrupt'")
+    out = {r["media_id"]: r["feature"] for r in extract_media_features(corrupt_only, stub=False).collect()}
+    assert out["corrupt"] is None

@@ -207,3 +207,32 @@ def test_curation_chain_with_decontamination_stage(spark):
     out_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert victim not in out_ids
     assert out_ids < base_ids  # only drops, never adds
+
+
+def test_curation_chain_with_span_removal_stage(spark):
+    """drop_spans=True rewrites survivors' text so no cross-doc >= span_n
+    token run survives twice; ids never change (removal edits text, it
+    does not drop documents) and the extra n_dropped_tokens column lands."""
+    from ontology_pipeline_spark.operators.dedup import duplicated_spans
+    from ontology_pipeline_spark.plans.curate import curate_documents
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # high-quality English-looking prose so the gates keep everything
+        (i, f"the report number {i} says that {run} and the team agreed it was a useful result overall")
+        for i in range(6)
+    ] + [(9, "the unrelated document talks about other matters entirely and shares no long run with anything")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = curate_documents(docs, min_quality=0.0, dedup_threshold=0.99)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    out = curate_documents(
+        docs, min_quality=0.0, dedup_threshold=0.99,
+        drop_spans=True, span_n=10, span_min_docs=2,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == base_ids
+    assert "n_dropped_tokens" in out.columns
+    survivors = out.select("doc_id", "text")
+    assert duplicated_spans(survivors, n=10, min_docs=2).collect() == []
+    # exactly one surviving doc still carries the run
+    assert sum(run in r["text"] for r in got.values()) == 1
