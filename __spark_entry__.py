@@ -400,26 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id_confusion"] = lang_id_confusion
 
-    def suppliers_per_region(spark, sf):
-        """region -> nation -> supplier broadcast-join chain with part-mode
-        revenue stats (exercises the remaining dimension tables)."""
-        s, n, r = (
-            _t(spark, sf, "supplier"),
-            _t(spark, sf, "nation"),
-            _t(spark, sf, "region"),
-        )
-        return (
-            s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-            .groupBy("r_name")
-            .agg(
-                F.count(F.lit(1)).alias("n_suppliers"),
-                F.countDistinct("n_name").alias("n_nations"),
-                F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
-            )
-        )
-
-    q["suppliers_per_region"] = suppliers_per_region
+    # (suppliers_per_region retired in round 4 — see the oracle_sql note;
+    # its broadcast-dim group-agg shape lives on in parts_by_brand and
+    # revenue_by_nation.)
 
     def latest_event_per_user(spark, sf):
         e = _t(spark, sf, "events")
@@ -432,22 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["latest_event_per_user"] = latest_event_per_user
 
-    def events_hourly(spark, sf):
-        e = _t(spark, sf, "events")
-        return e.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
-            F.col("event_type"),
-        ).agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(_dec_price(F.col("value"))).cast("double"), 2).alias("sum_value"),
-        )
-
-    q["events_hourly"] = events_hourly
-
-    # (events_by_type retired in round 3: the driver checks at most 50
-    # queries, and its A4 group-count coverage is subsumed by events_hourly /
-    # suppliers_per_region / parts_by_brand; the JSON-prop sum it carried is
-    # covered by props_json_stats.  Freed the slot for multimodal_media_stats.)
+    # (events_hourly retired in round 4 — events_daily_rollup covers the
+    # bucketed time-series count+sum shape; events_by_type went in round 3,
+    # its JSON-prop sum covered by props_json_stats.)
 
     def point_lookup_order(spark, sf):
         return _t(spark, sf, "orders").filter(F.col("o_orderkey") == 100).select(
@@ -695,6 +665,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate(_t(spark, sf, "documents")).select("doc_id", "source", "quality")
 
     q["curated_documents"] = curated_documents
+
+    def chunked_pack_stats(spark, sf):
+        """Training-prep chunking + sequence packing (VERDICT r3 #1):
+        context-window chunks (64 tokens, overlap 8) packed next-fit into
+        256-token bins across 8 deterministic hash shards, summarized per
+        shard (chunk/pack counts, token totals, fill).  Both operators are
+        deterministic pure functions of the token arrays, so the oracle is
+        an independent pure-Python recomputation (golden VALUES)."""
+        from ontology_pipeline_spark.operators.chunking import (
+            chunk_documents,
+            pack_chunks,
+        )
+
+        chunks = chunk_documents(
+            _t(spark, sf, "documents"), chunk_tokens=64, overlap=8
+        )
+        packed = pack_chunks(chunks, budget=256, n_groups=8)
+        return packed.groupBy("pack_group").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("pack_fill").alias("max_fill"),
+            F.sum(F.length("chunk_text")).alias("sum_chars"),
+        )
+
+    q["chunked_pack_stats"] = chunked_pack_stats
+
+    def duplicated_span_stats(spark, sf):
+        """Exact-substring span dedup, detection AND removal (VERDICT r3
+        #1/#2): per affected document, the merged >=8-token cross-doc spans
+        (count, covered tokens, flagged gram positions) joined with the
+        tokens actually dropped by the canonical-owner removal
+        (dedup.drop_duplicated_spans).  Canonical owners appear with
+        n_dropped_tokens=0 — the keep-one-occurrence semantics made
+        visible.  Oracle: independent pure-Python gram replay over the
+        same XXH64 (golden VALUES).  pin=False: the input is a plain
+        parquet scan, re-reading beats checkpointing."""
+        from ontology_pipeline_spark.operators.dedup import (
+            drop_duplicated_spans,
+            duplicated_spans,
+        )
+
+        d = _t(spark, sf, "documents")
+        per_doc = duplicated_spans(d, n=8, min_docs=2).groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+            F.sum("n_dup_grams").alias("n_dup_grams"),
+        )
+        removed = drop_duplicated_spans(d, n=8, min_docs=2, pin=False).select(
+            "doc_id", "n_dropped_tokens"
+        )
+        return per_doc.join(removed, "doc_id")
+
+    q["duplicated_span_stats"] = duplicated_span_stats
 
     def entity_pagerank(spark, sf):
         """Entity importance over the SYNTHETIC KG's triple graph: 10 rounds
@@ -1338,15 +1362,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY lang, predicted
     """
 
-    o["suppliers_per_region"] = """
-        SELECT r_name, count(*) AS n_suppliers,
-               count(DISTINCT n_name) AS n_nations,
-               round(max(s_acctbal), 2) AS max_acctbal
-        FROM supplier
-        JOIN nation ON s_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name
-    """
+    # (suppliers_per_region and events_hourly retired in round 4: the driver
+    # checks at most 50 queries; their broadcast-dim rollup / bucketed-count
+    # coverage is subsumed by parts_by_brand and events_daily_rollup.  Freed
+    # slots went to chunked_pack_stats and duplicated_span_stats — the
+    # round-3 training-prep operators the VERDICT asked to gate.)
 
     o["latest_event_per_user"] = """
         SELECT user_id, event_id, event_type, value
@@ -1356,14 +1376,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         )
         WHERE rk = 1
-    """
-
-    o["events_hourly"] = """
-        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
-               count(*) AS n_events,
-               round(cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
-        FROM events
-        GROUP BY 1, 2
     """
 
     o["point_lookup_order"] = """

@@ -268,6 +268,47 @@ def ivf_assign(
     return embeddings.withColumn(cell_col, -F.array_max(scored)["negi"])
 
 
+def ivf_assign_multi(
+    embeddings: DataFrame,
+    centers: list[list[float]],
+    n_assign: int = 2,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Multi-assignment BUILD step for IVF-blocked PAIR generation: each
+    vector is exploded into its `n_assign` max-cosine cells (one output row
+    per (vector, cell); ties -> lowest center index, same total order as
+    `ivf_assign`).  Two vectors become pair candidates iff they share any
+    assigned cell — the neighbor-cell expansion that catches pairs
+    straddling a cell boundary, the IVF analog of multi-probe.
+
+    Pure JVM expressions against literal centers: score array -> descending
+    sort -> slice(n_assign) -> explode.  Row fan-out is exactly n_assign x,
+    a constant; no shuffle (the explode is narrow)."""
+    v = F.col(vec_col).cast("array<double>")
+    nrm = _norm(v)
+    cnorms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in centers]
+    scored = F.array(
+        *[
+            F.struct(
+                F.when(
+                    nrm > 0,
+                    _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+                    / (nrm * F.lit(cnorms[i])),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("cos"),
+                F.lit(-i).alias("negi"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    top = F.slice(F.sort_array(scored, asc=False), 1, n_assign)
+    return embeddings.withColumn(
+        cell_col, F.explode(F.transform(top, lambda s: -s["negi"]))
+    )
+
+
 def probe_cells(
     centers: list[list[float]], query_vec: list[float], n_probe: int
 ) -> list[int]:

@@ -285,6 +285,104 @@ def replay_stratified_sample(doc_rows, n=3):
     return sorted(out)
 
 
+# ------------------------------------------------- chunking + packing
+def replay_chunk_pack_stats(
+    docs, chunk_tokens=64, overlap=8, budget=256, n_groups=8
+):
+    """Replay of the chunked_pack_stats query: context-window chunking
+    (operators/chunking.chunk_documents) + next-fit packing (pack_chunks)
+    recomputed from scratch — windows from the token array, hash shard =
+    pmod(xxhash64(str(doc_id)), n_groups), chunks packed in (doc_id,
+    chunk_idx) order (unique by construction, so the operator's hash
+    tiebreak never participates).  Per shard: (pack_group, n_chunks,
+    n_packs, sum_tokens, max_fill, sum_chars)."""
+    stride = chunk_tokens - overlap
+    groups: dict[int, list[tuple]] = {}
+    for doc_id, text in docs:
+        toks = tokens(text)
+        n = len(toks)
+        if n == 0:
+            continue
+        g = xxh64(str(doc_id).encode()) % n_groups
+        idx = 0
+        for start in range(0, n, stride):
+            if start != 0 and start + overlap >= n:
+                idx += 1
+                continue  # strict sub-span of the previous window
+            chunk = toks[start : start + chunk_tokens]
+            groups.setdefault(g, []).append(
+                (doc_id, idx, len(chunk), len(" ".join(chunk)))
+            )
+            idx += 1
+    out = []
+    for g in sorted(groups):
+        rows = sorted(groups[g])  # (doc_id, chunk_idx) order
+        pack_id, fill, max_fill, n_packs = 0, 0, 0, 1
+        sum_tokens = sum_chars = 0
+        for _d, _i, ntok, nchr in rows:
+            if fill and fill + ntok > budget:
+                pack_id += 1
+                n_packs += 1
+                fill = 0
+            fill += ntok
+            max_fill = max(max_fill, fill)
+            sum_tokens += ntok
+            sum_chars += nchr
+        out.append((g, len(rows), n_packs, sum_tokens, max_fill, sum_chars))
+    return out
+
+
+# ------------------------------------------------- duplicated spans
+def _merge_positions(positions: list[int], n: int) -> list[tuple[int, int]]:
+    """Merge flagged gram start positions into maximal [start, end) spans
+    (each gram covers n tokens)."""
+    spans = []
+    for p in sorted(positions):
+        if spans and p <= spans[-1][1]:
+            spans[-1] = (spans[-1][0], max(spans[-1][1], p + n))
+        else:
+            spans.append((p, p + n))
+    return spans
+
+
+def replay_duplicated_span_stats(docs, n=8, min_docs=2):
+    """Replay of the duplicated_span_stats query: gram hashes are
+    XXH64(" ".join(lowered tokens[i:i+n])), hot grams occur in >= min_docs
+    distinct docs, per-doc hot positions merge into spans; removal drops
+    every non-canonical occurrence (canonical = least (doc_id, pos)).
+    Rows: (doc_id, n_spans, dup_tokens, n_dup_grams, n_dropped_tokens)."""
+    occ: dict[int, list[tuple]] = {}  # gh -> [(doc_id, pos)]
+    for doc_id, text in docs:
+        toks = tokens(text.lower())
+        for i in range(max(len(toks) - n + 1, 0)):
+            gh = xxh64(" ".join(toks[i : i + n]).encode("utf-8"))
+            occ.setdefault(gh, []).append((doc_id, i))
+    flagged: dict[int, list[int]] = {}
+    doomed: dict[int, list[int]] = {}
+    for gh, occs in occ.items():
+        if len({d for d, _p in occs}) < min_docs:
+            continue
+        canon = min(occs)
+        for d, p in occs:
+            flagged.setdefault(d, []).append(p)
+            if (d, p) != canon:
+                doomed.setdefault(d, []).append(p)
+    out = []
+    for d in sorted(flagged):
+        spans = _merge_positions(flagged[d], n)
+        drop_spans = _merge_positions(doomed.get(d, []), n)
+        out.append(
+            (
+                d,
+                len(spans),
+                sum(e - s for s, e in spans),
+                len(flagged[d]),
+                sum(e - s for s, e in drop_spans),
+            )
+        )
+    return out
+
+
 # ------------------------------------------------------------- curation
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
@@ -598,6 +696,10 @@ def main() -> None:
     mm = replay_media_stats()
     print(f"multimodal stat rows: {len(mm)}")
 
+    cp = replay_chunk_pack_stats(docs)
+    ds = replay_duplicated_span_stats(docs)
+    print(f"chunk/pack shards: {len(cp)}, span-stat docs: {len(ds)}")
+
     gen = {
         "multimodal_media_stats": _sql_values(
             mm,
@@ -614,6 +716,12 @@ def main() -> None:
         "stratified_doc_sample": _sql_values(ssamp, "source, doc_id"),
         "curated_documents": _sql_values(curated, "doc_id, source, quality"),
         "entity_pagerank": _sql_values(pr, "node, rank"),
+        "chunked_pack_stats": _sql_values(
+            cp, "pack_group, n_chunks, n_packs, sum_tokens, max_fill, sum_chars"
+        ),
+        "duplicated_span_stats": _sql_values(
+            ds, "doc_id, n_spans, dup_tokens, n_dup_grams, n_dropped_tokens"
+        ),
     }
     with open(OUT, "w") as f:
         f.write(

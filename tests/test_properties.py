@@ -163,3 +163,93 @@ def test_replay_murmur3_long_array_matches_spark(spark):
     got = {r["i"]: r["h"] for r in sdf.collect()}
     for i, a in enumerate(arrays):
         assert murmur3_long_array(a) == got[i], a
+
+
+def _replay_module():
+    import importlib
+    import os
+    import sys
+
+    scripts_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    sys.path.insert(0, scripts_dir)
+    try:
+        return importlib.import_module("golden_replay")
+    finally:
+        sys.path.remove(scripts_dir)
+
+
+def test_replay_chunk_pack_matches_operator_on_property_corpus(spark):
+    """The chunked_pack_stats golden replay must equal the Spark operators
+    on a corpus exercising the boundary shapes: empty doc, 1 token, exactly
+    chunk_tokens, one past the tail-window cutoff, long multi-chunk docs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ontology_pipeline_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    gr = _replay_module()
+    rng = random.Random(7)
+    sizes = [0, 1, 8, 56, 57, 64, 65, 120, 121, 500, 701]
+    rows = [
+        (i, " ".join(f"w{rng.randrange(100)}" for _ in range(n)))
+        for i, n in enumerate(sizes)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    packed = pack_chunks(chunks, budget=256, n_groups=4)
+    got = sorted(
+        tuple(r)
+        for r in packed.groupBy("pack_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("pack_fill").alias("max_fill"),
+            F.sum(F.length("chunk_text")).alias("sum_chars"),
+        )
+        .collect()
+    )
+    want = sorted(gr.replay_chunk_pack_stats(rows, 64, 8, 256, 4))
+    assert got == want
+
+
+def test_replay_duplicated_span_stats_matches_operator(spark):
+    """The duplicated_span_stats golden replay must equal the Spark
+    detection+removal pair, including canonical owners (0 dropped) and
+    merged overlapping runs."""
+    from pyspark.sql import functions as F
+
+    from ontology_pipeline_spark.operators.dedup import (
+        drop_duplicated_spans,
+        duplicated_spans,
+    )
+
+    gr = _replay_module()
+    run = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"intro {run} outro bits"),
+        (2, f"{run} different tail"),
+        (3, f"prefix junk {run}"),
+        (4, "nothing shared here at all in any way whatsoever"),
+        (5, f"{run} and again {run}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    per_doc = duplicated_spans(docs, n=8, min_docs=2).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+        F.sum("n_dup_grams").alias("n_dup_grams"),
+    )
+    removed = drop_duplicated_spans(docs, n=8, min_docs=2).select(
+        "doc_id", "n_dropped_tokens"
+    )
+    got = sorted(tuple(r) for r in per_doc.join(removed, "doc_id").collect())
+    want = sorted(gr.replay_duplicated_span_stats(rows, n=8, min_docs=2))
+    assert got == want
+    by_id = dict((t[0], t) for t in got)
+    assert by_id[1][4] == 0  # canonical owner (least (doc_id, pos)) keeps it
