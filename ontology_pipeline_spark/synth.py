@@ -603,6 +603,69 @@ def y4m_encode(
     return header + b"".join(b"FRAME\n" + f for f in frames)
 
 
+def bmff_encode_meta(
+    duration_ms: int = 3500,
+    timescale: int = 1000,
+    tracks: list[tuple[str, str, int, int]] | None = None,
+    major_brand: bytes = b"isom",
+) -> bytes:
+    """Pure-stdlib ISO-BMFF METADATA writer: ftyp + moov(mvhd + one trak per
+    (handler, codec_fourcc, width, height)) + empty mdat — a spec-valid box
+    tree with no coded samples, enough to exercise the moov/mvhd/trak/stsd
+    walk in operators/multimodal.bmff_metadata independently of it (same
+    encoder-vs-decoder discipline as png/jpeg/wav/y4m_encode)."""
+    if tracks is None:
+        tracks = [("vide", "avc1", 640, 360), ("soun", "mp4a", 0, 0)]
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + t + body
+
+    def u32(v: int) -> bytes:
+        return v.to_bytes(4, "big")
+
+    unity = (
+        u32(0x00010000) + u32(0) + u32(0)
+        + u32(0) + u32(0x00010000) + u32(0)
+        + u32(0) + u32(0) + u32(0x40000000)
+    )
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + u32(0) + u32(0)  # creation/modification
+        + u32(timescale) + u32(duration)
+        + u32(0x00010000) + (0x0100).to_bytes(2, "big") + bytes(10)
+        + unity + bytes(24) + u32(len(tracks) + 1),
+    )
+    trak_boxes = b""
+    for idx, (handler, codec, w, h) in enumerate(tracks):
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"  # version 0, flags enabled|in-movie|preview
+            + u32(0) + u32(0) + u32(idx + 1) + u32(0) + u32(duration)
+            + bytes(8) + bytes(2) * 4 + unity
+            + u32(w << 16) + u32(h << 16),
+        )
+        mdhd = box(
+            b"mdhd",
+            bytes(4) + u32(0) + u32(0) + u32(timescale) + u32(duration)
+            + (0x55C4).to_bytes(2, "big") + bytes(2),  # lang "und"
+        )
+        hdlr = box(
+            b"hdlr",
+            bytes(4) + bytes(4) + handler.encode("ascii") + bytes(12) + b"\x00",
+        )
+        entry = (16).to_bytes(4, "big") + codec.encode("ascii") + bytes(6) + (1).to_bytes(2, "big")
+        stsd = box(b"stsd", bytes(4) + u32(1) + entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak_boxes += box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak_boxes)
+    ftyp = box(b"ftyp", major_brand + u32(0) + b"isomavc1")
+    return ftyp + moov + box(b"mdat", b"")
+
+
 VIDEO_MOTIONS = ["pan", "blink", "noise"]
 
 

@@ -667,3 +667,82 @@ def test_jpeg_unsupported_reason_distinguishes_needs_codec_from_corrupt(spark):
     corrupt_only = df.filter("media_id = 'corrupt'")
     out = {r["media_id"]: r["feature"] for r in extract_media_features(corrupt_only, stub=False).collect()}
     assert out["corrupt"] is None
+
+
+def test_bmff_metadata_walk_roundtrips_generated_boxes():
+    """VERDICT r3 #5: the moov/mvhd/trak ISO-BMFF metadata walk decodes the
+    independently written box tree (duration, track count, handler/codec
+    fourccs, video dimensions); header-only fakes and truncations are None."""
+    from ontology_pipeline_spark.operators.multimodal import bmff_metadata
+    from ontology_pipeline_spark.synth import bmff_encode_meta
+
+    b = bmff_encode_meta(
+        duration_ms=7250,
+        tracks=[("vide", "avc1", 1920, 1080), ("soun", "mp4a", 0, 0), ("vide", "hvc1", 640, 360)],
+    )
+    meta = bmff_metadata(b)
+    assert meta is not None
+    major, dur_ms, tracks = meta
+    assert major == "isom" and dur_ms == 7250
+    assert tracks == [
+        ("vide", "avc1", 1920, 1080),
+        ("soun", "mp4a", 0, 0),
+        ("vide", "hvc1", 640, 360),
+    ]
+    # negatives: the corpus's header-only fake, no moov, truncation
+    assert bmff_metadata(b"\x00\x00ftyp fake") is None
+    assert bmff_metadata(b[:40]) is None
+    ftyp_only = b[: int.from_bytes(b[:4], "big")]
+    assert bmff_metadata(ftyp_only) is None
+
+
+def test_video_stats_emits_bmff_metadata_rows(spark):
+    """video_stats returns a metadata row for MP4 payloads (format
+    'isobmff', mvhd duration, first video track dims, NULL pixel stats)
+    instead of an all-NULL row; bmff_tracks gives the per-track view."""
+    from ontology_pipeline_spark.operators.multimodal import (
+        bmff_tracks,
+        video_stats,
+    )
+    from ontology_pipeline_spark.synth import bmff_encode_meta
+
+    mp4 = bmff_encode_meta(duration_ms=4200, tracks=[("soun", "mp4a", 0, 0), ("vide", "avc1", 320, 240)])
+    df = spark.createDataFrame(
+        [("v1", mp4), ("junk", b"\x00\x00ftyp fake")],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in video_stats(df).collect()}
+    v = rows["v1"]
+    assert (v["format"], v["width"], v["height"], v["duration_ms"]) == ("isobmff", 320, 240, 4200)
+    assert v["n_frames"] is None and v["y_mean"] is None
+    assert rows["junk"]["format"] is None
+    tr = sorted(
+        (r["track_idx"], r["handler"], r["codec"], r["width"], r["height"], r["duration_ms"])
+        for r in bmff_tracks(df).collect()
+    )
+    assert tr == [(0, "soun", "mp4a", 0, 0, 4200), (1, "vide", "avc1", 320, 240, 4200)]
+
+
+def test_bmff_metadata_never_raises_on_seeded_mutations():
+    """The decoder fuzz contract extended to BMFF: byte flips, truncations,
+    and splices over a valid box tree return metadata or None, never raise."""
+    import random
+
+    from ontology_pipeline_spark.operators.multimodal import bmff_metadata
+    from ontology_pipeline_spark.synth import bmff_encode_meta
+
+    base = bmff_encode_meta()
+    assert bmff_metadata(base) is not None
+    rng = random.Random(4242)
+    for _ in range(400):
+        b = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _k in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op == 1:
+            b = b[: rng.randrange(len(b))]
+        else:
+            at = rng.randrange(len(b))
+            b[at:at] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 32)))
+        bmff_metadata(bytes(b))  # any return is fine; raising is the failure
