@@ -630,17 +630,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_dedup_clusters"] = embedding_dedup_clusters
 
-    def doc_hash_sample(spark, sf):
-        """Deterministic consistent sampling: keys hashing below 10% of the
-        hash space (group-preserving, cross-table-consistent — the standard
-        trick for subsampling joinable corpora).  Golden replay oracle."""
-        from ontology_pipeline_spark.operators.sampling import hash_sample
-
-        return hash_sample(_t(spark, sf, "documents"), "doc_id", 0.1).select(
-            "doc_id", "source"
+    def doc_sample_methods(spark, sf):
+        """Deterministic sampling, BOTH methods in one value check (round 4;
+        was doc_hash_sample): `hash_sample` keeps keys below 10% of the hash
+        space; `mixture_sample` applies per-source keep rates (1.0 / 0.5 /
+        0.2, default 0.05) — the domain-mixture resampling step of a
+        training-data pipeline, same hash-rank rule per group.  Both are
+        narrow scan-fused filters; golden replay oracle recomputes each
+        threshold decision from the XXH64 spec."""
+        from ontology_pipeline_spark.operators.sampling import (
+            hash_sample,
+            mixture_sample,
         )
 
-    q["doc_hash_sample"] = doc_hash_sample
+        d = _t(spark, sf, "documents")
+        hs = hash_sample(d, "doc_id", 0.1).select(
+            F.lit("hash").alias("method"), "doc_id", "source"
+        )
+        mx = mixture_sample(
+            d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.2},
+            "doc_id", default_rate=0.05,
+        ).select(F.lit("mixture").alias("method"), "doc_id", "source")
+        return hs.unionByName(mx)
+
+    q["doc_sample_methods"] = doc_sample_methods
 
     def stratified_doc_sample(spark, sf):
         """Per-source stratified draw: the 3 docs with the smallest

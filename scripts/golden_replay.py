@@ -273,6 +273,17 @@ def replay_hash_sample(doc_rows, rate=0.1):
     )
 
 
+def replay_mixture_sample(doc_rows, rates, default_rate=0.05):
+    """mixture_sample replay: per-group hash-threshold (same rank rule as
+    hash_sample, threshold chosen by the row's group)."""
+    out = []
+    for d, src in doc_rows:
+        thr = int(rates.get(src, default_rate) * _MERSENNE)
+        if xxh64(str(d).encode()) % _MERSENNE < thr:
+            out.append((d, src))
+    return sorted(out)
+
+
 def replay_stratified_sample(doc_rows, n=3):
     """stratified_hash_sample replay: n smallest (hash rank, key) per group."""
     groups: dict[str, list[tuple[int, int]]] = {}
@@ -676,6 +687,12 @@ def main() -> None:
         f"SELECT doc_id, source FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
     hsamp = replay_hash_sample(doc_src)
+    msamp = replay_mixture_sample(
+        doc_src, {"src0": 1.0, "src1": 0.5, "src2": 0.2}, default_rate=0.05
+    )
+    sample_methods = [("hash", d, s) for d, s in hsamp] + [
+        ("mixture", d, s) for d, s in msamp
+    ]
     ssamp = replay_stratified_sample(doc_src)
     doc_full = con.execute(
         f"SELECT doc_id, source, text FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
@@ -712,7 +729,7 @@ def main() -> None:
         "ann_topk_q0": _sql_values(ann, "vec_id, cosine"),
         "ivf_ann_q0": _sql_values(ivf, "vec_id, cosine"),
         "dedup_clusters": _sql_values(clusters, "doc_id, cluster_id"),
-        "doc_hash_sample": _sql_values(hsamp, "doc_id, source"),
+        "doc_sample_methods": _sql_values(sample_methods, "method, doc_id, source"),
         "stratified_doc_sample": _sql_values(ssamp, "source, doc_id"),
         "curated_documents": _sql_values(curated, "doc_id, source, quality"),
         "entity_pagerank": _sql_values(pr, "node, rank"),
