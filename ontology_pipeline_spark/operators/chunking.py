@@ -109,7 +109,13 @@ def pack_chunks(
     curriculum bucket).  Each group is one `applyInPandas` task: one
     shuffle on the group key, linear scan inside, per-task memory bounded
     by the group's rows.  Bins never span groups, so results are
-    partitioning-invariant and reproducible run-to-run."""
+    partitioning-invariant and reproducible run-to-run.
+
+    Sizing n_groups: ~16x the total core count (measured 2.4-2.6x faster
+    than 1x cores at 2M chunks — one task per group means the largest
+    hash shard gates the stage; many small groups let the scheduler smooth
+    the imbalance; BENCH/training_prep.md round-4 sweep), while keeping
+    each group's token mass >> `budget` so bins stay full."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     import pandas as pd
