@@ -17,6 +17,8 @@ AUDITED = [
     "point_lookup_order",
     "top_tokens",
     "entity_rollup_langs",
+    "chunked_pack_stats",
+    "duplicated_span_stats",
 ]
 
 
