@@ -188,3 +188,41 @@ def pack_chunks(
         return pdf.drop(columns=["_tiebreak"])
 
     return df.groupBy(group_col).applyInPandas(pack, schema=schema)
+
+
+def pack_texts(
+    packed: DataFrame,
+    sep: str = "\n\n",
+    group_col: str = "pack_group",
+    id_cols: tuple[str, str] = ("doc_id", "chunk_idx"),
+    text_col: str = "chunk_text",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Materialize the training examples `pack_chunks` laid out: one row per
+    (group_col, pack_id) — (n_chunks, n_tokens, text) with the member
+    chunks' texts joined by `sep` in the same deterministic (id_cols) order
+    the packer filled the bin.
+
+    One shuffle on (group, pack_id); per-bin state is bounded by `budget`
+    tokens BY CONSTRUCTION (the packer never overfills a bin except for a
+    single oversize chunk), so the collect_list that a whole-document
+    grouping could never afford is safe here — this is the step that turns
+    the pack layout into actual model inputs.  Order inside the bin uses
+    sort_array over (id_cols..., text) structs: a total order, no reliance
+    on collect order (CLAUDE.md determinism rule)."""
+    member = F.struct(
+        *[F.col(c) for c in id_cols], F.col(tokens_col).alias("_nt"), F.col(text_col).alias("_tx")
+    )
+    return (
+        packed.groupBy(group_col, "pack_id")
+        .agg(F.sort_array(F.collect_list(member)).alias("_m"))
+        .select(
+            group_col,
+            "pack_id",
+            F.size("_m").alias("n_chunks"),
+            F.aggregate(
+                "_m", F.lit(0).cast("long"), lambda acc, m: acc + m["_nt"]
+            ).alias("n_tokens"),
+            F.array_join(F.transform("_m", lambda m: m["_tx"]), sep).alias("text"),
+        )
+    )

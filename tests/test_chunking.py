@@ -156,3 +156,53 @@ def test_pack_chunks_fails_fast_on_null_or_negative_tokens(spark):
     with pytest.raises(Exception) as ei:
         pack_chunks(bad_neg, budget=8, n_groups=1).collect()
     assert ">= 0" in str(ei.value)
+
+
+def test_pack_texts_materializes_bins_in_pack_order(spark):
+    """pack_texts rebuilds one training example per bin: member texts joined
+    in (doc_id, chunk_idx) order, token total == bin fill, deterministic
+    under any input partitioning."""
+    from ontology_pipeline_spark.operators.chunking import pack_chunks, pack_texts
+
+    rows = [
+        (1, 0, 3, "a b c"),
+        (1, 1, 3, "d e f"),
+        (2, 0, 4, "g h i j"),
+        (3, 0, 5, "k l m n o"),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_tokens long, chunk_text string"
+    ).withColumn("pack_group", F.lit(0))
+    packed = pack_chunks(chunks, budget=7)
+    out = {
+        (r["pack_group"], r["pack_id"]): (r["n_chunks"], r["n_tokens"], r["text"])
+        for r in pack_texts(packed, sep=" | ").collect()
+    }
+    # next-fit in (doc_id, chunk_idx) order with budget 7:
+    # bin0 = (1,0)+(1,1) fill 6; bin1 = (2,0) fill 4 (5 would overflow); bin2 = (3,0)
+    assert out[(0, 0)] == (2, 6, "a b c | d e f")
+    assert out[(0, 1)] == (1, 4, "g h i j")
+    assert out[(0, 2)] == (1, 5, "k l m n o")
+    repart = pack_texts(pack_chunks(chunks.repartition(7), budget=7), sep=" | ")
+    assert {
+        (r["pack_group"], r["pack_id"]): (r["n_chunks"], r["n_tokens"], r["text"])
+        for r in repart.collect()
+    } == out
+
+
+def test_ivf_assign_multi_plan_is_narrow(spark):
+    """Multi-assignment is a constant-fan-out explode against literal
+    centers: no Exchange, no Python stage."""
+    from ontology_pipeline_spark.operators.similarity import ivf_assign_multi
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    centers = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    plan = (
+        ivf_assign_multi(emb, centers, n_assign=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
