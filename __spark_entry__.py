@@ -670,12 +670,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def curated_documents(spark, sf):
         """The full training-data curation chain (plans/curate.py):
         language gate -> quality floor -> exact dedup -> transitive
-        near-dup drop.  End-to-end value check: the survivors (with their
-        quality scores) are replayed independently in pure Python
-        (golden VALUES oracle)."""
+        near-dup drop -> duplicated-span REMOVAL (drop_spans=True, 4-token
+        runs — the round-4 stage, so the COMPOSITION is value-checked, not
+        just the standalone operator).  End-to-end check: survivors,
+        quality scores, and per-doc dropped-token counts are all replayed
+        independently in pure Python (golden VALUES oracle)."""
         from ontology_pipeline_spark.plans.curate import curate_documents as curate
 
-        return curate(_t(spark, sf, "documents")).select("doc_id", "source", "quality")
+        return curate(
+            _t(spark, sf, "documents"), drop_spans=True, span_n=4
+        ).select("doc_id", "source", "quality", "n_dropped_tokens")
 
     q["curated_documents"] = curated_documents
 

@@ -421,10 +421,21 @@ def replay_quality(text: str) -> float:
     return spark_round(max(0.0, min(1.0, 0.4 * lt + 0.5 * div - 0.5 * noise + 0.1)), 6)
 
 
+def _replay_drop_counts(docs, n=8, min_docs=2):
+    """Per-doc dropped-token counts of drop_duplicated_spans over `docs`
+    [(doc_id, text)]: non-canonical occurrences of hot grams merged to
+    spans (the removal half of replay_duplicated_span_stats)."""
+    stats = {d: dropped for d, _ns, _dt, _ng, dropped in replay_duplicated_span_stats(docs, n, min_docs)}
+    return {d: stats.get(d, 0) for d, _t in docs}
+
+
 def replay_curation(doc_rows, lang="en", min_quality=0.5,
-                    num_hashes=32, bands=8, shingle_n=2, threshold=0.8):
-    """Replay of plans.curate.curate_documents (no sample step): returns
-    (survivor (doc_id, source, quality) rows, near-dup drop ids)."""
+                    num_hashes=32, bands=8, shingle_n=2, threshold=0.8,
+                    span_n=4, span_min_docs=2):
+    """Replay of plans.curate.curate_documents with drop_spans=True (no
+    sample step): returns (survivor (doc_id, source, quality,
+    n_dropped_tokens) rows, near-dup drop ids) — span removal runs over
+    the post-near-dup survivor population, matching the chain order."""
     gated = [
         (d, src, text)
         for d, src, text in doc_rows
@@ -444,10 +455,12 @@ def replay_curation(doc_rows, lang="en", min_quality=0.5,
         [(d, t) for d, _s, t in survivors], num_hashes, bands, shingle_n, 42, threshold
     )
     drops = sorted(d for d, rep in clusters if d != rep)
+    kept = [(d, src, text) for d, src, text in survivors if d not in set(drops)]
+    dropped_by_id = _replay_drop_counts(
+        [(d, t) for d, _s, t in kept], span_n, span_min_docs
+    )
     out = [
-        (d, src, replay_quality(text))
-        for d, src, text in survivors
-        if d not in set(drops)
+        (d, src, replay_quality(text), dropped_by_id[d]) for d, src, text in kept
     ]
     return sorted(out), drops
 
@@ -731,7 +744,9 @@ def main() -> None:
         "dedup_clusters": _sql_values(clusters, "doc_id, cluster_id"),
         "doc_sample_methods": _sql_values(sample_methods, "method, doc_id, source"),
         "stratified_doc_sample": _sql_values(ssamp, "source, doc_id"),
-        "curated_documents": _sql_values(curated, "doc_id, source, quality"),
+        "curated_documents": _sql_values(
+            curated, "doc_id, source, quality, n_dropped_tokens"
+        ),
         "entity_pagerank": _sql_values(pr, "node, rank"),
         "chunked_pack_stats": _sql_values(
             cp, "pack_group, n_chunks, n_packs, sum_tokens, max_fill, sum_chars"
