@@ -687,25 +687,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Training-prep chunking + sequence packing (VERDICT r3 #1):
         context-window chunks (64 tokens, overlap 8) packed next-fit into
         256-token bins across 8 deterministic hash shards, summarized per
-        shard (chunk/pack counts, token totals, fill).  Both operators are
-        deterministic pure functions of the token arrays, so the oracle is
-        an independent pure-Python recomputation (golden VALUES)."""
+        shard (chunk/pack counts, token totals, fill), PLUS the materialized
+        bins (`pack_texts`): bins_hash sums a bounded hash of each bin's
+        joined text, so bin membership AND intra-bin order are
+        value-checked (lengths alone are linear in the other columns).
+        All three operators are deterministic pure functions of the token
+        arrays, so the oracle is an independent pure-Python recomputation
+        (golden VALUES)."""
         from ontology_pipeline_spark.operators.chunking import (
             chunk_documents,
             pack_chunks,
+            pack_texts,
         )
 
         chunks = chunk_documents(
             _t(spark, sf, "documents"), chunk_tokens=64, overlap=8
         )
-        packed = pack_chunks(chunks, budget=256, n_groups=8)
-        return packed.groupBy("pack_group").agg(
+        # pin: `packed` (an applyInPandas stage) feeds both the per-chunk
+        # aggregate and the bin materialization (multi-consumer rule)
+        packed = pack_chunks(chunks, budget=256, n_groups=8).localCheckpoint(
+            eager=False
+        )
+        per_group = packed.groupBy("pack_group").agg(
             F.count(F.lit(1)).alias("n_chunks"),
             (F.max("pack_id") + 1).alias("n_packs"),
             F.sum("n_tokens").alias("sum_tokens"),
             F.max("pack_fill").alias("max_fill"),
             F.sum(F.length("chunk_text")).alias("sum_chars"),
         )
+        # pmod to 2^40 keeps the per-group sum far inside int64 (ANSI mode
+        # would error loudly on a raw signed-hash sum)
+        bins = pack_texts(packed, sep="\n").groupBy("pack_group").agg(
+            F.sum(F.pmod(F.xxhash64("text"), F.lit(1 << 40))).alias("bins_hash"),
+        )
+        return per_group.join(bins, "pack_group")
 
     q["chunked_pack_stats"] = chunked_pack_stats
 

@@ -321,8 +321,9 @@ def replay_chunk_pack_stats(
                 idx += 1
                 continue  # strict sub-span of the previous window
             chunk = toks[start : start + chunk_tokens]
+            ctext = " ".join(chunk)
             groups.setdefault(g, []).append(
-                (doc_id, idx, len(chunk), len(" ".join(chunk)))
+                (doc_id, idx, len(chunk), len(ctext), ctext)
             )
             idx += 1
     out = []
@@ -330,7 +331,8 @@ def replay_chunk_pack_stats(
         rows = sorted(groups[g])  # (doc_id, chunk_idx) order
         pack_id, fill, max_fill, n_packs = 0, 0, 0, 1
         sum_tokens = sum_chars = 0
-        for _d, _i, ntok, nchr in rows:
+        bins: dict[int, list[str]] = {}
+        for _d, _i, ntok, nchr, ctext in rows:
             if fill and fill + ntok > budget:
                 pack_id += 1
                 n_packs += 1
@@ -339,7 +341,16 @@ def replay_chunk_pack_stats(
             max_fill = max(max_fill, fill)
             sum_tokens += ntok
             sum_chars += nchr
-        out.append((g, len(rows), n_packs, sum_tokens, max_fill, sum_chars))
+            bins.setdefault(pack_id, []).append(ctext)
+        # pack_texts replay: each bin's member texts joined with "\n" in the
+        # same order they were packed; bounded hash summed per group
+        bins_hash = sum(
+            xxh64("\n".join(texts).encode("utf-8")) % (1 << 40)
+            for texts in bins.values()
+        )
+        out.append(
+            (g, len(rows), n_packs, sum_tokens, max_fill, sum_chars, bins_hash)
+        )
     return out
 
 
@@ -749,7 +760,8 @@ def main() -> None:
         ),
         "entity_pagerank": _sql_values(pr, "node, rank"),
         "chunked_pack_stats": _sql_values(
-            cp, "pack_group, n_chunks, n_packs, sum_tokens, max_fill, sum_chars"
+            cp,
+            "pack_group, n_chunks, n_packs, sum_tokens, max_fill, sum_chars, bins_hash",
         ),
         "duplicated_span_stats": _sql_values(
             ds, "doc_id, n_spans, dup_tokens, n_dup_grams, n_dropped_tokens"

@@ -191,6 +191,7 @@ def test_replay_chunk_pack_matches_operator_on_property_corpus(spark):
     from ontology_pipeline_spark.operators.chunking import (
         chunk_documents,
         pack_chunks,
+        pack_texts,
     )
 
     gr = _replay_module()
@@ -202,19 +203,20 @@ def test_replay_chunk_pack_matches_operator_on_property_corpus(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     chunks = chunk_documents(docs, chunk_tokens=64, overlap=8)
-    packed = pack_chunks(chunks, budget=256, n_groups=4)
-    got = sorted(
-        tuple(r)
-        for r in packed.groupBy("pack_group")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            (F.max("pack_id") + 1).alias("n_packs"),
-            F.sum("n_tokens").alias("sum_tokens"),
-            F.max("pack_fill").alias("max_fill"),
-            F.sum(F.length("chunk_text")).alias("sum_chars"),
-        )
-        .collect()
+    packed = pack_chunks(chunks, budget=256, n_groups=4).localCheckpoint(
+        eager=False
     )
+    per_group = packed.groupBy("pack_group").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.max("pack_id") + 1).alias("n_packs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.max("pack_fill").alias("max_fill"),
+        F.sum(F.length("chunk_text")).alias("sum_chars"),
+    )
+    bins = pack_texts(packed, sep="\n").groupBy("pack_group").agg(
+        F.sum(F.pmod(F.xxhash64("text"), F.lit(1 << 40))).alias("bins_hash"),
+    )
+    got = sorted(tuple(r) for r in per_group.join(bins, "pack_group").collect())
     want = sorted(gr.replay_chunk_pack_stats(rows, 64, 8, 256, 4))
     assert got == want
 
