@@ -445,6 +445,137 @@ def minhash_lsh_pairs(
     )
 
 
+def exact_fingerprints(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, fp) — the portable exact-dedup keys of a corpus, the table
+    an incremental pipeline persists between ingests (append each shard's
+    surviving fingerprints after `exact_dedup_against`)."""
+    return documents.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+
+
+def exact_dedup_against(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: `new_docs` minus byte-duplicates of anything
+    already ingested — the daily-shard workflow (dedup today's dump against
+    every prior dump WITHOUT rescanning the historical corpus).
+
+    ``seen_fps`` is the persisted fingerprint table (column ``fp``, from
+    :func:`exact_fingerprints`).  The shard is first deduped within itself
+    (min-id representative, same rule as `exact_dedup`), then anti-joined
+    on the fingerprint.  At 100 TB the anti-join shuffles only fingerprints
+    (32-char keys), and a fingerprint table bucketed by ``fp`` makes the
+    shard-vs-history join co-located; the historical TEXT is never read."""
+    fresh = exact_dedup(new_docs, text_col, id_col)
+    fp = fingerprint(F.col(text_col)).alias("_fp")
+    return (
+        fresh.select("*", fp)
+        .join(seen_fps.select(F.col("fp").alias("_fp")), "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
+def minhash_index(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable near-dup index: one row per (band, bucket, doc_id,
+    signature) — the BUILD half of incremental MinHash dedup (the same
+    build/probe split the ANN path uses, applied to near-dup ingest).
+    Write it partitioned by ``band`` and bucketed by ``bucket`` so probes
+    become partition-pruned co-located joins; append each ingested shard's
+    rows after it survives curation.  The signature is carried per band
+    row so a probe verifies candidates without a second join back to a
+    signature table (at extreme scale, split into the slim band table +
+    signature table `minhash_lsh_pairs` uses internally and trade the
+    extra join for the bands-times smaller index)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = (
+        minhash_signatures(documents, text_col, id_col, num_hashes, shingle_n, seed)
+        .localCheckpoint(eager=False)
+        .filter(F.col("signature").isNotNull())
+    )
+    return sigs.select(
+        F.explode(band_structs(F.col("signature"), bands, rows_per_band)).alias("bb"),
+        "doc_id",
+        "signature",
+    ).select("bb.band", "bb.bucket", "doc_id", "signature")
+
+
+def minhash_probe_near_dups(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    seed: int = 42,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup detection: (new_id, indexed_id, est_jaccard)
+    for every new-shard document whose estimated Jaccard against an
+    ALREADY-INGESTED document reaches ``threshold`` — cross pairs only
+    (run `minhash_lsh_pairs` within the shard for intra-shard dups; both
+    use the shared `minhash_coeffs` schedule, so estimates agree exactly
+    with what a full-corpus run would compute).
+
+    Only the NEW shard is tokenized/shingled; the historical side is the
+    prebuilt :func:`minhash_index`, met through a (band, bucket) equi-join
+    that turns into partition pruning + co-located lookup on a
+    partitioned/bucketed index read.  Candidate space is band-collision
+    bounded, never |shard| x |history|."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = (
+        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n, seed)
+        .localCheckpoint(eager=True)
+        .filter(F.col("signature").isNotNull())
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(band_structs(F.col("signature"), bands, rows_per_band)).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.join(index, ["band", "bucket"])
+        .select(
+            banded["doc_id"].alias("new_id"),
+            index["doc_id"].alias("indexed_id"),
+            index["signature"].alias("sig_old"),
+        )
+        # a pair colliding in k bands appears k times with the identical
+        # signature payload — the dedup is deterministic in value
+        .dropDuplicates(["new_id", "indexed_id"])
+    )
+    cand = cand.join(
+        sigs.select(F.col("doc_id").alias("new_id"), F.col("signature").alias("sig_new")),
+        "new_id",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_new"), F.col("sig_old"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return cand.select(
+        "new_id",
+        "indexed_id",
+        F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
 def minhash_dedup_clusters(
     documents: DataFrame,
     text_col: str = "text",

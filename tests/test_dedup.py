@@ -488,3 +488,68 @@ def test_ivf_assign_multi_contains_single_assignment(spark):
         multi2.setdefault(r["vec_id"], set()).add(r["ivf_cell"])
     for vid, cell in single.items():
         assert cell in multi2[vid] and len(multi2[vid]) == 2
+
+
+def test_exact_dedup_against_history(spark):
+    """Incremental exact dedup: a shard loses byte-duplicates of the
+    persisted fingerprint table AND its own internal dups, keeps fresh
+    docs; whitespace/case normalization matches exact_dedup's key."""
+    from ontology_pipeline_spark.operators.dedup import (
+        exact_dedup_against,
+        exact_fingerprints,
+    )
+
+    history = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "some other doc")], "doc_id long, text string"
+    )
+    seen = exact_fingerprints(history).select("fp")
+    shard = spark.createDataFrame(
+        [
+            (10, "THE  cat   sat"),   # normalizes to a seen fingerprint
+            (11, "a brand new doc"),
+            (12, "a brand new doc"),  # intra-shard dup (min id 11 wins)
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r["doc_id"] for r in exact_dedup_against(shard, seen).collect())
+    assert out == [11, 13]
+
+
+def test_minhash_probe_equals_full_run_cross_pairs(spark):
+    """Incremental near-dup probe == the cross-shard slice of a full-corpus
+    minhash_lsh_pairs run: same ids, same est_jaccard (shared coefficient
+    schedule), nothing intra-shard, nothing intra-history."""
+    from ontology_pipeline_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_probe_near_dups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    history = docs.filter("doc_id % 3 != 0")
+    # shard: the held-out docs plus perturbed near-clones of history docs
+    clones = history.filter("doc_id % 5 == 0").select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail token")).alias("text"),
+    )
+    shard = docs.filter("doc_id % 3 = 0").unionByName(clones)
+
+    idx = minhash_index(history)
+    probed = {
+        (r["new_id"], r["indexed_id"]): r["est_jaccard"]
+        for r in minhash_probe_near_dups(shard, idx, threshold=0.8).collect()
+    }
+    full = minhash_lsh_pairs(history.unionByName(shard))
+    shard_ids = {r["doc_id"] for r in shard.select("doc_id").collect()}
+    want = {}
+    for r in full.collect():
+        if r["est_jaccard"] < 0.8:
+            continue
+        a, b = r["id_a"], r["id_b"]
+        if (a in shard_ids) != (b in shard_ids):  # cross pairs only
+            new, old = (a, b) if a in shard_ids else (b, a)
+            want[(new, old)] = r["est_jaccard"]
+    assert probed == want and len(probed) > 0
