@@ -568,19 +568,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_topk_q0"] = cosine_topk_q0
 
-    def embedding_minmax_by_label(spark, sf):
-        emb = _t(spark, sf, "embeddings")
-        v = F.col("embedding").cast("array<double>")
-        norm = F.round(
-            F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)), 6
-        )
-        return emb.select("label", norm.alias("nrm")).groupBy("label").agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.min("nrm").alias("min_norm"),
-            F.max("nrm").alias("max_norm"),
+    def ivf_blocked_close_pairs(spark, sf):
+        """Mid-threshold embedding pairs via data-adaptive IVF-cell blocking
+        (round 4; replaced embedding_minmax_by_label — see oracle_sql note):
+        sampled_centers -> ivf_assign_multi (2 nearest cells per vector) ->
+        exact-cosine pairs within cells -> dedup, at t=0.35 where sign-LSH
+        banding collapses (recall 0.21 vs 0.93 measured,
+        BENCH/embedding_blocking.md).  Oracle: independent pure-Python
+        replay of the seeded centroid draw, the multi-assignment argmax,
+        and every pair cosine (golden VALUES)."""
+        from ontology_pipeline_spark.operators.dedup import ivf_blocked_pairs
+
+        return ivf_blocked_pairs(
+            _t(spark, sf, "embeddings"),
+            threshold=0.35, n_centroids=16, n_assign=2,
         )
 
-    q["embedding_minmax_by_label"] = embedding_minmax_by_label
+    q["ivf_blocked_close_pairs"] = ivf_blocked_close_pairs
 
     # ---- non-SQL-expressible ops (rows-only driver check)
 
@@ -1570,16 +1574,10 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 20
     """
 
-    o["embedding_minmax_by_label"] = """
-        WITH norms AS (
-            SELECT label,
-                   round(sqrt(list_dot_product(cast(embedding AS DOUBLE[]), cast(embedding AS DOUBLE[]))), 6) AS nrm
-            FROM embeddings
-        )
-        SELECT label, count(*) AS n_vecs, min(nrm) AS min_norm, max(nrm) AS max_norm
-        FROM norms
-        GROUP BY label
-    """
+    # (embedding_minmax_by_label retired in round 4: its array-fold norm is
+    # exercised by cosine_topk_q0/embedding_close_pairs and its min/max
+    # group-agg by doc_quality_minmax/parts_by_brand — freed the slot for
+    # ivf_blocked_close_pairs, the round-4 mid-threshold blocking operator.)
 
     o["goals_constraints_fixture"] = _cue_fixture_oracle()
     o["protocols_fixture"] = _protocol_fixture_oracle()

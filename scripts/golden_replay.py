@@ -564,6 +564,40 @@ def replay_ann_topk(vecs, query_vec, k=10, n_planes=8, max_hamming=2, seed=42):
 
 
 # ------------------------------------------------------ sampled-centroid IVF
+def replay_ivf_blocked_pairs(vecs, threshold=0.35, n_centroids=16, n_assign=2):
+    """Replay of dedup.ivf_blocked_pairs: the seeded sampled-centroid draw
+    (same rank rule as replay_ivf_topk), multi-assignment to the n_assign
+    max-cosine cells (ties -> lowest center index, Spark's struct order),
+    exact pair cosines within cells (same left-to-right float fold as the
+    operator), distinct (id_a, id_b, round-6 cosine) at >= threshold."""
+    ranked = sorted(vecs, key=lambda t: (xxh64(str(t[0]).encode()) % _MERSENNE, t[0]))
+    seeds = ranked[:n_centroids]
+    centers = []
+    for _vid, v in seeds:
+        n = _norm(v)
+        centers.append([x / n for x in v] if n > 0 else list(v))
+    cnorms = [(_norm(c) or 1.0) for c in centers]
+    cells: dict[int, list] = {}
+    for vid, v in vecs:
+        nrm = _norm(v)
+        scored = []
+        for i, c in enumerate(centers):
+            cos = _dot(v, c) / (nrm * cnorms[i]) if nrm > 0 else 0.0
+            scored.append((cos, -i))
+        for _cos, negi in sorted(scored, reverse=True)[:n_assign]:
+            cells.setdefault(-negi, []).append((vid, v, nrm))
+    pairs: dict[tuple, float] = {}
+    for members in cells.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                (ida, va, na), (idb, vb, nb) = ms[i], ms[j]
+                cos = spark_round(_dot(va, vb) / (na * nb), 6)
+                if cos >= threshold:
+                    pairs[(ida, idb)] = cos
+    return sorted((a, b, c) for (a, b), c in pairs.items())
+
+
 def replay_ivf_topk(vecs, query_vec, k=10, n_centroids=16, n_probe=4):
     """Replay of similarity.sampled_centers + ivf_assign + ivf_probe_topk."""
     # seed selection: n_centroids ids with smallest (pmod(xxh64(str(id)), M), id)
@@ -706,6 +740,7 @@ def main() -> None:
     sh = replay_simhash_groups(docs)
     ann = replay_ann_topk(vecs, qv)
     ivf = replay_ivf_topk(vecs, qv)
+    ivfp = replay_ivf_blocked_pairs(vecs)
     clusters = replay_dedup_clusters(docs)
     doc_src = con.execute(
         f"SELECT doc_id, source FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
@@ -752,6 +787,7 @@ def main() -> None:
         "simhash_bucket_groups": _sql_values(sh, "bucket, n_docs"),
         "ann_topk_q0": _sql_values(ann, "vec_id, cosine"),
         "ivf_ann_q0": _sql_values(ivf, "vec_id, cosine"),
+        "ivf_blocked_close_pairs": _sql_values(ivfp, "id_a, id_b, cosine"),
         "dedup_clusters": _sql_values(clusters, "doc_id, cluster_id"),
         "doc_sample_methods": _sql_values(sample_methods, "method, doc_id, source"),
         "stratified_doc_sample": _sql_values(ssamp, "source, doc_id"),
