@@ -1022,10 +1022,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             image_channel_stats,
             video_stats,
         )
-        from ontology_pipeline_spark.synth import generate_media_corpus, media_df
+        from ontology_pipeline_spark.synth import (
+            bmff_encode_meta,
+            generate_media_corpus,
+            media_df,
+        )
 
         corpus = generate_media_corpus(n_images=48, seed=11)
         media = media_df(spark, corpus)
+        # round 4: ISO-BMFF metadata rows — video_stats must surface
+        # moov/mvhd/trak metadata ("isobmff" format, mvhd duration, first
+        # video track dims) for compressed containers whose PIXELS need a
+        # codec.  By-construction golden: the replay derives the expected
+        # rows from these same literal track layouts, never running the
+        # box walker.
+        bmff = spark.createDataFrame(
+            [
+                ("bmf000", "video",
+                 bmff_encode_meta(duration_ms=3500, tracks=[("vide", "avc1", 640, 360), ("soun", "mp4a", 0, 0)]),
+                 "video/mp4", 640, 360, 3500, "bmff"),
+                ("bmf001", "video",
+                 bmff_encode_meta(duration_ms=12000, timescale=90000, tracks=[("vide", "hvc1", 1920, 1080)]),
+                 "video/mp4", 1920, 1080, 12000, "bmff"),
+                ("bmf002", "video",
+                 bmff_encode_meta(duration_ms=800, tracks=[("soun", "mp4a", 0, 0)]),
+                 "video/mp4", None, None, 800, "bmff"),
+            ],
+            media.schema,
+        )
+        media = media.unionByName(bmff)
         null_l = F.lit(None).cast("long")
         null_d = F.lit(None).cast("double")
         img = (

@@ -703,6 +703,20 @@ def replay_media_stats(out_w=4, out_h=4):
              N, nf, nf * 1000 * den // num, N, N, N, N, N,
              round(ysum / (nf * w * h), 6))
         )
+    # round-4 ISO-BMFF metadata rows — by-construction from the SAME literal
+    # track layouts the multimodal_media_stats query encodes with
+    # synth.bmff_encode_meta (duration round-trips exactly: ms -> timescale
+    # units floor -> ms floor is identity when timescale % 1000 == 0);
+    # dims come from the first "vide" track, else the first track
+    for mid, w, h, dur in (
+        ("bmf000", 640, 360, 3500),
+        ("bmf001", 1920, 1080, 12000),
+        ("bmf002", 0, 0, 800),  # audio-only: first track is (soun, 0, 0)
+    ):
+        out.append(
+            (mid, "video", "bmff", "isobmff", w, h, N, N, N, dur,
+             N, N, N, N, N, N)
+        )
     return out
 
 
