@@ -169,6 +169,15 @@ def main() -> None:
                 "queries": timings,
                 "query_spread": spreads,
                 "hw_ceiling_sec": {"before": hw_before, "after": hw_after},
+                # machine-readable normalized series (VERDICT r4 what's-wrong
+                # #3): compare BENCH_rN.json files by this ratio, never raw
+                # wall — the denominator is the same-window pure-CPU burn, so
+                # hypervisor throttling cancels out of the round-over-round
+                # comparison
+                "wall_over_ceiling": round(total / hw_before, 2),
+                "queries_over_ceiling": {
+                    k: round(v / hw_before, 2) for k, v in timings.items()
+                },
                 "sf": _sf_of(sf_dir),
                 "kg_pages": BENCH_PAGES,
                 "kg_triples": int(n_triples),

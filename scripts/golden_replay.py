@@ -245,6 +245,75 @@ def replay_minhash_near_dups(docs, num_hashes=32, bands=4, shingle_n=2, seed=42,
     return out
 
 
+def replay_incremental_dedup(
+    docs, mod=5, num_hashes=32, bands=8, shingle_n=2, seed=42, threshold=0.8
+):
+    """Replay of the incremental_dedup_probe query (VERDICT r4 #1):
+    deterministic xxhash64(doc_id) pmod-`mod` split into history/shard;
+    exact_dedup_against = intra-shard min-id-per-fingerprint dedup then
+    anti-join against history fingerprints (fp = the whitespace-normalized
+    lowered text — md5 equality == normalized-text equality);
+    minhash_probe_near_dups = shard signatures vs a history-built band index
+    (shared coefficient schedule, Murmur3 band buckets — bit-identical
+    candidate generation, Spark collisions included)."""
+    shard = [(d, t) for d, t in docs if xxh64_long(d) % mod == 0]
+    history = [(d, t) for d, t in docs if xxh64_long(d) % mod != 0]
+
+    def norm(t):
+        # strip(" ") not strip(): Spark's F.trim removes only ASCII spaces
+        return _WS.sub(" ", t.strip(" ").lower())
+
+    byfp: dict[str, int] = {}
+    for d, t in shard:
+        fp = norm(t)
+        if fp not in byfp or d < byfp[fp]:
+            byfp[fp] = d
+    hist_fps = {norm(t) for _d, t in history}
+    survivors = sorted(d for fp, d in byfp.items() if fp not in hist_fps)
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    rows_per_band = num_hashes // bands
+
+    def sigs_of(rows):
+        out = {}
+        for d, t in rows:
+            s = minhash_signature(t, num_hashes, shingle_n, coeffs)
+            if s is not None:
+                out[d] = s
+        return out
+
+    hist_sigs, shard_sigs = sigs_of(history), sigs_of(shard)
+
+    def band_keys(sig):
+        return [
+            (b, murmur3_long_array(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            for b in range(bands)
+        ]
+
+    index: dict[tuple, list] = {}
+    for d, sig in hist_sigs.items():
+        for key in band_keys(sig):
+            index.setdefault(key, []).append(d)
+    cand = set()
+    for d, sig in shard_sigs.items():
+        for key in band_keys(sig):
+            for h in index.get(key, ()):
+                cand.add((d, h))
+    pairs = []
+    for nd, hd in sorted(cand):
+        agree = sum(1 for x, y in zip(shard_sigs[nd], hist_sigs[hd]) if x == y)
+        est = spark_round(agree / float(num_hashes), 6)
+        if est >= threshold:
+            pairs.append((nd, hd, est))
+    return [("survivor", d, None, None) for d in survivors] + [
+        ("cross_pair", a, b, e) for a, b, e in pairs
+    ]
+
+
 def replay_dedup_clusters(docs, num_hashes=32, bands=8, shingle_n=2, seed=42, threshold=0.8):
     """Union-find over the replayed LSH pairs; cluster id = min member."""
     pairs = replay_minhash_near_dups(docs, num_hashes, bands, shingle_n, seed, threshold)
@@ -754,8 +823,16 @@ def main() -> None:
     sh = replay_simhash_groups(docs)
     ann = replay_ann_topk(vecs, qv)
     ivf = replay_ivf_topk(vecs, qv)
-    ivfp = replay_ivf_blocked_pairs(vecs)
+    # n_assign=4: the recommended configuration (recall 0.93 vs brute at
+    # t=0.35, BENCH/embedding_blocking.md) is also the gated one since r5
+    ivfp = replay_ivf_blocked_pairs(vecs, n_assign=4)
     clusters = replay_dedup_clusters(docs)
+    incr = replay_incremental_dedup(docs)
+    n_surv = sum(1 for r in incr if r[0] == "survivor")
+    print(
+        f"incremental dedup: {n_surv} shard survivors, "
+        f"{len(incr) - n_surv} cross pairs"
+    )
     doc_src = con.execute(
         f"SELECT doc_id, source FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
@@ -803,6 +880,9 @@ def main() -> None:
         "ivf_ann_q0": _sql_values(ivf, "vec_id, cosine"),
         "ivf_blocked_close_pairs": _sql_values(ivfp, "id_a, id_b, cosine"),
         "dedup_clusters": _sql_values(clusters, "doc_id, cluster_id"),
+        "incremental_dedup_probe": _sql_values(
+            incr, "kind, new_id, indexed_id, est_jaccard"
+        ),
         "doc_sample_methods": _sql_values(sample_methods, "method, doc_id, source"),
         "stratified_doc_sample": _sql_values(ssamp, "source, doc_id"),
         "curated_documents": _sql_values(
