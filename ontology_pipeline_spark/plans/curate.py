@@ -37,6 +37,36 @@ from ..operators.sampling import hash_sample
 from ..operators.text_analysis import lang_id, quality_score, structural_flags
 
 
+def gate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    clean: bool = False,
+    structural_gate: bool = False,
+) -> DataFrame:
+    """The narrow per-row gate stage shared by the batch chain
+    (:func:`curate_documents`) and the incremental one (plans/ingest.py):
+    optional clean + structural gate, then language gate and quality floor.
+    Adds `lang_pred` and `quality` columns; everything fuses into the scan
+    (no shuffle, no Python)."""
+    if clean:
+        # pin the cleaned text before ANY gate reads it: Catalyst pushes
+        # downstream filter predicates through the cleaning projection and
+        # substitutes the whole regexp chain into every gate sub-signal
+        # (structural_flags alone embeds it 6x; measured 9.7x wall on 100k
+        # pages, the same trap as the multi-consumer rule in CLAUDE.md)
+        docs = clean_documents(docs, text_col).localCheckpoint(eager=False)
+    if structural_gate:
+        docs = docs.filter(structural_flags(F.col(text_col)))
+    return (
+        docs.withColumn("lang_pred", lang_id(F.col(text_col)))
+        .filter(F.col("lang_pred") == lang)
+        .withColumn("quality", quality_score(F.col(text_col)))
+        .filter(F.col("quality") >= min_quality)
+    )
+
+
 def curate_documents(
     docs: DataFrame,
     text_col: str = "text",
@@ -89,20 +119,13 @@ def curate_documents(
     dedup.minhash_lsh_pairs).  The 2048 default is a no-op on any corpus
     whose buckets stay sane — including the golden fixture — while keeping
     the chain's wall time bounded on templated web text."""
-    if clean:
-        # pin the cleaned text before ANY gate reads it: Catalyst pushes
-        # downstream filter predicates through the cleaning projection and
-        # substitutes the whole regexp chain into every gate sub-signal
-        # (structural_flags alone embeds it 6x; measured 9.7x wall on 100k
-        # pages, the same trap as the multi-consumer rule in CLAUDE.md)
-        docs = clean_documents(docs, text_col).localCheckpoint(eager=False)
-    if structural_gate:
-        docs = docs.filter(structural_flags(F.col(text_col)))
-    d = (
-        docs.withColumn("lang_pred", lang_id(F.col(text_col)))
-        .filter(F.col("lang_pred") == lang)
-        .withColumn("quality", quality_score(F.col(text_col)))
-        .filter(F.col("quality") >= min_quality)
+    d = gate_documents(
+        docs,
+        text_col,
+        lang=lang,
+        min_quality=min_quality,
+        clean=clean,
+        structural_gate=structural_gate,
     )
     d = exact_dedup(d, text_col, id_col)
     # pin: the survivor frame feeds BOTH the cluster computation and the
