@@ -9,14 +9,17 @@ decoder (zlib inflate + per-scanline unfilter, all five PNG filter types,
 integer block-average pooling) and `image_channel_stats`; `wav_decode` walks
 RIFF chunks to exact-integer PCM `audio_stats`; `y4m_decode` parses raw
 YUV4MPEG2 streams into per-frame planes for `video_stats` and real
-`sample_decoded_frames`; `jpeg_decode` is a real baseline-JPEG entropy
-decoder (DHT Huffman, DC prediction, AC run-length, dequantize, float IDCT,
-4:4:4/4:2:2/4:2:0 chroma upsampling, JFIF YCbCr->RGB) — progressive and
-arithmetic-coded JPEG return None from `jpeg_decode` itself, but the
-featurize stage classifies them via `jpeg_unsupported_reason` and raises at
-the codec seam so valid-but-unsupported streams are never mistaken for
-corrupt bytes.  Undecodable payloads yield NULLs, never raise, so a corrupt
-shard cannot kill a 100 TB scan.
+`sample_decoded_frames`; `jpeg_decode` is a real JPEG entropy decoder
+covering baseline sequential (SOF0/1: DHT Huffman, DC prediction, AC
+run-length, dequantize, float IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling,
+JFIF YCbCr->RGB) AND, since round 5, Huffman progressive (SOF2: the full
+T.81 G.2 multi-scan path — spectral selection, successive approximation,
+EOB runs, DC/AC refinement).  Arithmetic-coded and lossless JPEG return
+None from `jpeg_decode` itself, but the featurize stage classifies them
+via `jpeg_unsupported_reason` and raises at the codec seam so
+valid-but-unsupported streams are never mistaken for corrupt bytes.
+Undecodable payloads yield NULLs, never raise, so a corrupt shard cannot
+kill a 100 TB scan.
 
 Scale note: the decoder is pure Python by necessity of this container; the
 mapInPandas stages are narrow (binary bytes never leave the executor, one
@@ -28,7 +31,7 @@ pass, no shuffle), so a real deployment swaps `png_decode` for a C codec
 * `stub=False` computes REAL features dispatched on the container — PNG and
   baseline-JPEG pixel stats, PCM WAV sample stats, Y4M plane stats — and
   raises NotImplementedError only at the codec seams: compressed video
-  PIXELS (ISO-BMFF/H.26x) and valid progressive/arithmetic/12-bit JPEG,
+  PIXELS (ISO-BMFF/H.26x) and valid arithmetic/lossless/12-bit JPEG,
   exactly where a full decoder plugs in.  ISO-BMFF METADATA is real since
   round 4: `bmff_metadata`/`bmff_tracks` walk moov/mvhd/trak/stsd with
   pure byte arithmetic (duration, track layout, codec fourccs,
@@ -224,16 +227,73 @@ def _dct_basis():
 _JFIF_RGB = (1.402, 0.344136, 0.714136, 1.772)  # JFIF 1.02 / BT.601 constants
 
 
+def _split_entropy(b: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split one entropy-coded segment starting at `pos` into its
+    restart-interval chunks, removing 0xFF00 byte stuffing and skipping
+    spec-legal 0xFF fill bytes.  Returns (chunks, end) where `end` is the
+    offset of the 0xFF of the marker that terminated the scan (or len(b))
+    — progressive streams continue parsing segments from there."""
+    chunks: list[bytes] = []
+    cur = bytearray()
+    j = pos
+    while j < len(b):
+        byte = b[j]
+        if byte != 0xFF:
+            cur.append(byte)
+            j += 1
+            continue
+        if j + 1 >= len(b):
+            j = len(b)
+            break
+        nxt = b[j + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            j += 2
+        elif nxt == 0xFF:  # spec-legal fill byte
+            j += 1
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            chunks.append(bytes(cur))
+            cur = bytearray()
+            j += 2
+        else:  # EOI or any other marker ends the scan
+            break
+    chunks.append(bytes(cur))
+    return chunks, j
+
+
+def _jpeg_output(w, h, comps, planes, hmax, vmax):
+    """Shared decode tail: crop (grayscale) or nearest-neighbor chroma
+    upsample + JFIF YCbCr->RGB (color) — identical for the baseline and
+    progressive entropy paths."""
+    import numpy as np
+
+    if len(comps) == 1:
+        return (w, h, 1, planes[comps[0][0]][:h, :w].tobytes())
+    kr, kgb, kgr, kb = _JFIF_RGB
+    full = []
+    for cid, hi, vi, _tq in comps:
+        pl = planes[cid]
+        ys = (np.arange(h) * vi // vmax).clip(0, pl.shape[0] - 1)
+        xs = (np.arange(w) * hi // hmax).clip(0, pl.shape[1] - 1)
+        full.append(pl[np.ix_(ys, xs)].astype(np.float64))
+    yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [yy + kr * cr, yy - kgb * cb - kgr * cr, yy + kb * cb], axis=-1
+    )
+    return (w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes())
+
+
 def jpeg_decode(b: bytes, max_pixel_bytes: int = 1 << 27) -> tuple[int, int, int, bytes] | None:
-    """Pure-Python baseline JPEG decode: (width, height, channels, raw
-    samples row-major) for baseline sequential Huffman streams (SOF0/SOF1),
-    8-bit precision, 1-component grayscale or 3-component YCbCr with
-    sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart markers
-    honored.  The full entropy path is real: DHT canonical Huffman tables,
-    DC prediction + EXTEND, AC run-length/ZRL/EOB, dequantize, dezigzag,
-    float IDCT (numpy, T.81 A.3.3 basis), nearest-neighbor chroma
-    upsampling, JFIF YCbCr->RGB.  Returns None (never raises) for non-JPEG,
-    progressive/arithmetic streams (SOF2+), 12-bit precision, >2x sampling,
+    """Pure-Python JPEG decode: (width, height, channels, raw samples
+    row-major) for Huffman streams — baseline sequential (SOF0/SOF1) here,
+    progressive (SOF2) via `_jpeg_decode_progressive` — 8-bit precision,
+    1-component grayscale or 3-component YCbCr with sampling factors up to
+    2x2 (4:4:4, 4:2:2, 4:2:0), restart markers honored.  The full entropy
+    path is real: DHT canonical Huffman tables, DC prediction + EXTEND, AC
+    run-length/ZRL/EOB, dequantize, dezigzag, float IDCT (numpy, T.81
+    A.3.3 basis), nearest-neighbor chroma upsampling, JFIF YCbCr->RGB.
+    Returns None (never raises) for non-JPEG,
+    arithmetic/lossless streams, 12-bit precision, >2x sampling,
     corrupt/truncated data, or frames whose PEAK decode memory (padded
     planes + float upsampling/color stages, ~51 bytes/pixel for color)
     would exceed `max_pixel_bytes` — a bad shard yields a NULL row, never
@@ -309,8 +369,10 @@ def jpeg_decode(b: bytes, max_pixel_bytes: int = 1 << 27) -> tuple[int, int, int
                     cid, hv, tq = seg[6 + 3 * k], seg[7 + 3 * k], seg[8 + 3 * k]
                     comps.append((cid, hv >> 4, hv & 0xF, tq))
                 frame = (w, h, comps)
-            elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                return None  # progressive/arithmetic/lossless frames
+            elif marker == 0xC2:  # SOF2: progressive — own multi-scan path
+                return _jpeg_decode_progressive(b, max_pixel_bytes)
+            elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return None  # arithmetic/lossless/differential frames
             elif marker == 0xDD:  # DRI
                 dri = (seg[0] << 8) | seg[1]
             elif marker == 0xDA:  # SOS
@@ -350,32 +412,7 @@ def jpeg_decode(b: bytes, max_pixel_bytes: int = 1 << 27) -> tuple[int, int, int
         transient = padded + (51 * w * h if len(comps) == 3 else 2 * w * h)
         if transient > max_pixel_bytes:
             return None
-        # split the entropy stream into restart-interval chunks, removing
-        # 0xFF00 byte stuffing
-        chunks: list[bytes] = []
-        cur = bytearray()
-        j = pos
-        while j < len(b):
-            byte = b[j]
-            if byte != 0xFF:
-                cur.append(byte)
-                j += 1
-                continue
-            if j + 1 >= len(b):
-                break
-            nxt = b[j + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-            elif nxt == 0xFF:  # spec-legal fill byte
-                j += 1
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn
-                chunks.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-            else:  # EOI or any other marker ends the scan
-                break
-        chunks.append(bytes(cur))
+        chunks, _end = _split_entropy(b, pos)
         basis = _dct_basis()
         planes = {}
         for cid, hi, vi, _tq in comps:
@@ -424,21 +461,320 @@ def jpeg_decode(b: bytes, max_pixel_bytes: int = 1 << 27) -> tuple[int, int, int
                             x0 = (mx * hi + bx) * 8
                             planes[cid][y0 : y0 + 8, x0 : x0 + 8] = out
                 n_mcu += 1
+        return _jpeg_output(w, h, comps, planes, hmax, vmax)
+    except (ValueError, IndexError, KeyError, ZeroDivisionError):
+        return None
+
+
+# when set to a dict by a test, _jpeg_decode_progressive stores the raw
+# accumulated coefficient planes in it (coefficient-level ground-truth
+# comparison against an independent encoder)
+_JPEG_PROG_TRACE: dict | None = None
+
+
+def _jpeg_decode_progressive(
+    b: bytes, max_pixel_bytes: int = 1 << 27
+) -> tuple[int, int, int, bytes] | None:
+    """Progressive (SOF2) Huffman JPEG decode — the multi-scan entropy path
+    of ITU T.81 G.2: coefficients accumulate across scans in a per-block
+    int buffer (spectral selection picks the zigzag band, successive
+    approximation the bit position), then one dequantize + IDCT + output
+    pass shared with the baseline decoder.  All four scan kinds are
+    implemented: DC first (interleaved or single-component), DC refinement
+    (one bit per block), AC first (EOB runs, ZRL), and AC refinement
+    (correction bits, the jdphuff-shaped algorithm).  DHT/DQT/DRI segments
+    between scans are honored; restart markers reset DC predictors and the
+    EOB run.  Returns None (never raises) on corrupt/truncated/unsupported
+    input, same contract and memory bound as `jpeg_decode` (plus 4
+    bytes/sample for the int32 coefficient planes)."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    try:
+        import numpy as np
+
+        qt: dict[int, list[int]] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        frame = None
+        dri = 0
+        i = 2
+        scans = []
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(b):
+                return None
+            seg_len = (b[i + 2] << 8) | b[i + 3]
+            seg = b[i + 4 : i + 2 + seg_len]
+            if len(seg) != seg_len - 2:
+                return None
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 0xF
+                    j += 1
+                    if pq == 0:
+                        qt[tq] = list(seg[j : j + 64])
+                        j += 64
+                    else:
+                        qt[tq] = [
+                            (seg[j + 2 * k] << 8) | seg[j + 2 * k + 1] for k in range(64)
+                        ]
+                        j += 128
+                    if len(qt[tq]) != 64:
+                        return None
+            elif marker == 0xC4:  # DHT (may be redefined between scans)
+                j = 0
+                while j + 17 <= len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0xF
+                    bits = list(seg[j + 1 : j + 17])
+                    n = sum(bits)
+                    vals = seg[j + 17 : j + 17 + n]
+                    if len(vals) != n:
+                        return None
+                    (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
+                    j += 17 + n
+            elif marker == 0xC2:  # SOF2
+                if frame is not None or seg[0] != 8:
+                    return None
+                h = (seg[1] << 8) | seg[2]
+                w = (seg[3] << 8) | seg[4]
+                nc = seg[5]
+                if w == 0 or h == 0 or nc not in (1, 3):
+                    return None
+                comps = []
+                for k in range(nc):
+                    cid, hv, tq = seg[6 + 3 * k], seg[7 + 3 * k], seg[8 + 3 * k]
+                    comps.append((cid, hv >> 4, hv & 0xF, tq))
+                frame = (w, h, comps)
+            elif 0xC0 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+                return None  # a second/other frame type
+            elif marker == 0xDD:  # DRI (per-scan: may change between scans)
+                dri = (seg[0] << 8) | seg[1]
+            elif marker == 0xDA:  # SOS — snapshot tables, slice entropy data
+                if frame is None:
+                    return None
+                ns = seg[0]
+                if len(seg) != 1 + 2 * ns + 3:
+                    return None
+                order = []
+                sel = {}
+                for k in range(ns):
+                    cs, t = seg[1 + 2 * k], seg[2 + 2 * k]
+                    order.append(cs)
+                    sel[cs] = (t >> 4, t & 0xF)
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                tbls = {
+                    cs: (
+                        huff_dc.get(sel[cs][0]) if ss == 0 else None,
+                        huff_ac.get(sel[cs][1]) if se > 0 else None,
+                    )
+                    for cs in order
+                }
+                chunks, end = _split_entropy(b, i + 2 + seg_len)
+                scans.append((order, ss, se, ahal >> 4, ahal & 0xF, chunks, dri, tbls))
+                i = end
+                continue
+            i += 2 + seg_len
+        if frame is None or not scans:
+            return None
+        w, h, comps = frame
         if len(comps) == 1:
-            return (w, h, 1, planes[comps[0][0]][:h, :w].tobytes())
-        # nearest-neighbor chroma upsample + JFIF YCbCr -> RGB
-        kr, kgb, kgr, kb = _JFIF_RGB
-        full = []
-        for cid, hi, vi, _tq in comps:
-            pl = planes[cid]
-            ys = (np.arange(h) * vi // vmax).clip(0, pl.shape[0] - 1)
-            xs = (np.arange(w) * hi // hmax).clip(0, pl.shape[1] - 1)
-            full.append(pl[np.ix_(ys, xs)].astype(np.float64))
-        yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-        rgb = np.stack(
-            [yy + kr * cr, yy - kgb * cb - kgr * cr, yy + kb * cb], axis=-1
+            # T.81 A.2 single-component normalization, as in jpeg_decode
+            cid, _hi, _vi, tq = comps[0]
+            comps = [(cid, 1, 1, tq)]
+        if not all(1 <= c[1] <= 2 and 1 <= c[2] <= 2 for c in comps):
+            return None
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        padded = sum(
+            (mcus_y * 8 * vi) * (mcus_x * 8 * hi) for _c, hi, vi, _t in comps
         )
-        return (w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes())
+        # baseline bound + 4 B/sample for the int32 coefficient planes
+        transient = 5 * padded + (51 * w * h if len(comps) == 3 else 2 * w * h)
+        if transient > max_pixel_bytes:
+            return None
+        bycid = {c[0]: c for c in comps}
+        coeffs = {
+            cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+            for cid, hi, vi, _tq in comps
+        }
+
+        def comp_grid(cs):
+            """TRUE (ceil-dims) block grid of a non-interleaved scan."""
+            _cid, hi, vi, _tq = bycid[cs]
+            cw, chh = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+            return -(-cw // 8), -(-chh // 8)
+
+        def decode_dc(order, ah, al, chunks, sdri, tbls):
+            rdr = _JpegBits(chunks[0])
+            ci = 0
+            pred = {cs: 0 for cs in order}
+            if len(order) > 1:
+                units = mcus_y * mcus_x
+
+                def blocks_of(u):
+                    my, mx = divmod(u, mcus_x)
+                    for cs in order:
+                        _cid, hi, vi, _tq = bycid[cs]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                yield cs, my * vi + by, mx * hi + bx
+            else:
+                cs0 = order[0]
+                bw, _bh = comp_grid(cs0)
+                units = bw * _bh
+
+                def blocks_of(u):
+                    yield cs0, u // bw, u % bw
+
+            for u in range(units):
+                if sdri and u and u % sdri == 0:
+                    ci += 1
+                    if ci >= len(chunks):
+                        raise ValueError("missing restart chunk")
+                    rdr = _JpegBits(chunks[ci])
+                    pred = {cs: 0 for cs in order}
+                for cs, by, bx in blocks_of(u):
+                    blk = coeffs[cs][by, bx]
+                    if ah == 0:
+                        dc_t = tbls[cs][0]
+                        t = rdr.huff(dc_t)
+                        pred[cs] += _extend(rdr.bits(t), t)
+                        blk[0] = pred[cs] << al
+                    elif rdr.bits(1):
+                        blk[0] = int(blk[0]) | (1 << al)
+
+        def decode_ac(cs, ss, se, ah, al, chunks, sdri, ac_t):
+            bw, bh = comp_grid(cs)
+            arr = coeffs[cs]
+            rdr = _JpegBits(chunks[0])
+            ci = 0
+            eobrun = 0
+            p1, m1 = 1 << al, -(1 << al)
+            for u in range(bw * bh):
+                if sdri and u and u % sdri == 0:
+                    ci += 1
+                    if ci >= len(chunks):
+                        raise ValueError("missing restart chunk")
+                    rdr = _JpegBits(chunks[ci])
+                    eobrun = 0
+                blk = arr[u // bw, u % bw]
+                if ah == 0:  # AC first
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = rdr.huff(ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rdr.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("band overrun")
+                        blk[_ZIGZAG[k]] = _extend(rdr.bits(s), s) << al
+                        k += 1
+                else:  # AC refinement (jdphuff-shaped)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = rdr.huff(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            val = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError("bad refinement size")
+                                val = p1 if rdr.bits(1) else m1
+                            elif r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rdr.bits(r)
+                                break
+                            # advance over r zero-history coefficients,
+                            # reading correction bits for nonzero ones
+                            while k <= se:
+                                z = _ZIGZAG[k]
+                                c = int(blk[z])
+                                if c:
+                                    if rdr.bits(1) and (c & p1) == 0:
+                                        blk[z] = c + (p1 if c >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise ValueError("band overrun")
+                                blk[_ZIGZAG[k]] = val
+                            k += 1
+                    if eobrun:
+                        while k <= se:  # correction bits for the band's rest
+                            z = _ZIGZAG[k]
+                            c = int(blk[z])
+                            if c and rdr.bits(1) and (c & p1) == 0:
+                                blk[z] = c + (p1 if c >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+
+        for order, ss, se, ah, al, chunks, sdri, tbls in scans:
+            if any(cs not in bycid for cs in order):
+                return None
+            if ss == 0:
+                if se != 0 or (ah == 0 and any(tbls[cs][0] is None for cs in order)):
+                    return None  # DC scan must have Se=0 and (first) DC tables
+                decode_dc(order, ah, al, chunks, sdri, tbls)
+            else:
+                # T.81 G.1.1.1: AC scans are single-component
+                if len(order) != 1 or se > 63 or ss > se:
+                    return None
+                ac_t = tbls[order[0]][1]
+                if ac_t is None:
+                    return None
+                decode_ac(order[0], ss, se, ah, al, chunks, sdri, ac_t)
+
+        if _JPEG_PROG_TRACE is not None:  # test/debug hook: raw coefficients
+            _JPEG_PROG_TRACE["coeffs"] = {c: a.copy() for c, a in coeffs.items()}
+            _JPEG_PROG_TRACE["comps"] = list(comps)
+        basis = _dct_basis()
+        planes = {}
+        for cid, hi, vi, tq in comps:
+            qnat = np.empty(64, dtype=np.float64)
+            qnat[_ZIGZAG] = np.array(qt[tq], dtype=np.float64)
+            by, bx = mcus_y * vi, mcus_x * hi
+            sarr = (coeffs[cid].astype(np.float64) * qnat).reshape(by, bx, 8, 8)
+            # per-block 2D matmuls, NOT a broadcasted/einsum form: only the
+            # byte-identical operation sequence gives the same float
+            # rounding at the .5 boundary as the baseline path's
+            # `basis.T @ block @ basis` (a stacked matmul picks a different
+            # BLAS kernel and ±1 pixel differences appear)
+            pl = np.empty((by * 8, bx * 8), dtype=np.uint8)
+            for yb in range(by):
+                for xb in range(bx):
+                    pix = basis.T @ sarr[yb, xb] @ basis + 128.0
+                    pl[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = np.clip(
+                        np.rint(pix), 0, 255
+                    ).astype(np.uint8)
+            planes[cid] = pl
+        return _jpeg_output(w, h, comps, planes, hmax, vmax)
     except (ValueError, IndexError, KeyError, ZeroDivisionError):
         return None
 
@@ -564,12 +900,16 @@ def audio_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
 def jpeg_unsupported_reason(b: bytes) -> str | None:
     """Classify a VALID-but-unsupported JPEG: walks the marker list to the
     first frame header and names what a fuller codec would be needed for —
-    "progressive" (SOF2/6/10/14), "lossless" (SOF3/7/11/15), "arithmetic"
-    (SOF9/13), "12-bit precision", or ">2x2 sampling".  Returns None for
-    baseline streams `jpeg_decode` handles AND for corrupt/non-JPEG bytes:
+    "differential-progressive" (SOF6/14), "lossless" (SOF3/7/11/15),
+    "arithmetic-coded" (SOF9/10/13), "12-bit precision", or ">2x2 sampling".
+    Huffman progressive (SOF2) is NOT a gap since `_jpeg_decode_progressive`
+    landed — it decodes like baseline.  Returns None for
+    streams `jpeg_decode` handles AND for corrupt/non-JPEG bytes:
     the caller distinguishes needs-codec (raise at the seam) from corrupt
-    (NULL row) — the distinction ADVICE r3 asked for, so a mostly-
-    progressive corpus fails loudly instead of silently yielding NULLs."""
+    (NULL row) — the distinction ADVICE r3 asked for, so a corpus full of
+    (say) arithmetic-coded JPEGs fails loudly instead of silently yielding
+    NULLs.  (ADVICE r3's original example WAS progressive; round 5 closed
+    that gap outright by decoding it.)"""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         return None
     i = 2
@@ -586,12 +926,14 @@ def jpeg_unsupported_reason(b: bytes) -> str | None:
             continue
         seg_len = (b[i + 2] << 8) | b[i + 3]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-                return "progressive"
+            if marker in (0xC6, 0xCE):
+                return "differential-progressive"
             if marker in (0xC3, 0xC7, 0xCB, 0xCF):
                 return "lossless"
-            if marker in (0xC9, 0xCD):
+            if marker in (0xC9, 0xCA, 0xCD):
                 return "arithmetic-coded"
+            # SOF0/1/2 (baseline/extended/progressive Huffman) all decode;
+            # the shared precision/sampling limits below still apply
             seg = b[i + 4 : i + 2 + seg_len]
             if len(seg) != seg_len - 2 or len(seg) < 6:
                 return None  # corrupt frame header, not a codec gap
@@ -662,8 +1004,9 @@ def _decode_and_featurize(payload: bytes | None, kind: str, stub: bool) -> list[
         if jpeg_gap is not None:
             raise NotImplementedError(
                 f"valid JPEG stream needs a fuller codec ({jpeg_gap}): "
-                "jpeg_decode covers baseline sequential Huffman 8-bit "
-                "frames — plug libjpeg-turbo in here for the rest"
+                "jpeg_decode covers baseline-sequential and progressive "
+                "Huffman 8-bit frames — plug libjpeg-turbo in here for "
+                "the rest"
             )
         if payload[4:8] == b"ftyp":
             raise NotImplementedError(

@@ -577,6 +577,280 @@ def jpeg_encode(
     return bytes(out)
 
 
+# progressive AC table: the 162 baseline symbols plus the EOBn run-length
+# symbols ((n << 4) | 0, n=1..14) progressive scans need — 176 codes, all
+# 8 bits, no all-ones code (max code 175)
+_JPEG_ACP_VALS = sorted(_JPEG_AC_VALS + [(n << 4) for n in range(1, 15)])
+_JPEG_ACP_BITS = [0] * 16
+_JPEG_ACP_BITS[7] = len(_JPEG_ACP_VALS)
+
+
+def jpeg_encode_progressive(
+    w: int, h: int, planes: list[bytes], subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Pure-Python PROGRESSIVE (SOF2) JPEG writer, independent of the
+    operator-side decoder (same encoder-vs-decoder discipline as
+    `jpeg_encode`, whose quantization/DCT/clamping it reproduces exactly —
+    so a baseline and a progressive encode of the same planes carry
+    IDENTICAL coefficients and any conforming decoder yields bit-identical
+    pixels for both).  Scan script (exercises every T.81 G.2 scan kind):
+
+        1. DC first, all components interleaved, Al=1
+        2. AC first   comp0  Ss=1  Se=5   Al=2
+        3. AC first   comp0  Ss=6  Se=63  Al=2
+        4. AC first   comp1  Ss=1  Se=63  Al=1      (color only)
+        5. AC first   comp2  Ss=1  Se=63  Al=1      (color only)
+        6. DC refine, all components interleaved, Ah=1 Al=0
+        7. AC refine  comp0  Ss=1  Se=63  Ah=2 Al=1
+        8. AC refine  comp0  Ss=1  Se=63  Ah=1 Al=0
+        9. AC refine  comp1  Ss=1  Se=63  Ah=1 Al=0 (color only)
+       10. AC refine  comp2  Ss=1  Se=63  Ah=1 Al=0 (color only)
+
+    i.e. spectral selection, successive approximation, EOB runs, ZRL and
+    refinement correction bits all appear in the stream.  DHT declares the
+    same fixed-length canonical tables plus the EOBn symbols."""
+    import math
+
+    import numpy as np
+
+    assert subsampling in ("444", "420", "422")
+    ncomp = len(planes)
+    assert ncomp in (1, 3)
+    for p in planes:
+        assert len(p) == w * h
+    if ncomp == 1:
+        factors = [(1, 1)]
+    elif subsampling == "444":
+        factors = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        factors = [(2, 1), (1, 1), (1, 1)]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    basis = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+
+    # subsample + pad (identical math to jpeg_encode), then the full
+    # coefficient arrays: (blocks_y, blocks_x, 64) ints in ZIGZAG order,
+    # ACs clamped to the 10-bit categories exactly like the baseline writer
+    coefs = []
+    for (hi, vi), plane in zip(factors, planes):
+        a = np.frombuffer(plane, dtype=np.uint8).reshape(h, w).astype(np.int64)
+        if hi < hmax or vi < vmax:
+            fx, fy = hmax // hi, vmax // vi
+            ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+            padded = a[np.minimum(np.arange(ph), h - 1)][:, np.minimum(np.arange(pw), w - 1)]
+            a = (
+                padded.reshape(ph // fy, fy, pw // fx, fx).sum(axis=(1, 3))
+                + (fx * fy) // 2
+            ) // (fx * fy)
+        cw, ch_ = mcus_x * 8 * hi, mcus_y * 8 * vi
+        a = a[np.minimum(np.arange(ch_), a.shape[0] - 1)][:, np.minimum(np.arange(cw), a.shape[1] - 1)]
+        by, bx = ch_ // 8, cw // 8
+        blocks = a.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).astype(np.float64) - 128.0
+        # per-block 2D matmuls in the exact op order of jpeg_encode's
+        # `basis @ block @ basis.T`: a stacked einsum picks a different BLAS
+        # kernel whose float rounding can land on the other side of an
+        # np.rint .5 boundary, so baseline and progressive encodes of the
+        # same plane would carry coefficients differing by ±1
+        q = np.empty((by, bx, 8, 8), dtype=np.int64)
+        for yy in range(by):
+            for xx in range(bx):
+                q[yy, xx] = np.rint(basis @ blocks[yy, xx] @ basis.T).astype(np.int64)
+        zz = q.reshape(by, bx, 64)[:, :, _JPEG_ZIGZAG]
+        zz[:, :, 1:] = np.clip(zz[:, :, 1:], -1023, 1023)
+        coefs.append(zz)
+
+    dc_codes = _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(_JPEG_ACP_BITS, _JPEG_ACP_VALS)
+
+    def true_grid(ci):
+        hi, vi = factors[ci]
+        cw, ch2 = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+        return -(-cw // 8), -(-ch2 // 8)
+
+    def dc_scan(wtr, ah, al):
+        """Interleaved DC scan over the full MCU grid."""
+        pred = [0] * ncomp
+        rst_idx = n_mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    wtr.restart(rst_idx)
+                    rst_idx += 1
+                    pred = [0] * ncomp
+                n_mcu += 1
+                for ci, (hi, vi) in enumerate(factors):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            dc = int(coefs[ci][my * vi + by, mx * hi + bx, 0])
+                            if ah == 0:
+                                t = dc >> al  # T.81: DC point transform is >>
+                                diff = t - pred[ci]
+                                pred[ci] = t
+                                size = diff.bit_length() if diff else 0
+                                wtr.put(*dc_codes[size])
+                                if size:
+                                    wtr.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+                            else:
+                                wtr.put((dc >> al) & 1, 1)
+
+    def ac_scan(wtr, ci, ss, se, ah, al):
+        """Non-interleaved AC scan over component ci's TRUE block grid
+        (T.81 A.2.2: ceil dims, not the MCU-padded grid)."""
+        bw, bh = true_grid(ci)
+        arr = coefs[ci]
+        eobrun = 0
+        # correction bits attached to the pending EOB run (emitted right
+        # after the EOBn symbol); bits buffered WITHIN a block since its
+        # last emitted symbol live in the block-local `cur` list instead —
+        # the decoder reads those after that symbol, not after an EOBn
+        eob_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, eob_bits
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                wtr.put(*ac_codes[nbits << 4])
+                if nbits:
+                    wtr.put(eobrun & ((1 << nbits) - 1), nbits)
+                for bit in eob_bits:
+                    wtr.put(bit, 1)
+            eobrun = 0
+            eob_bits = []
+
+        rst_idx = 0
+        for u in range(bw * bh):
+            if restart_interval and u and u % restart_interval == 0:
+                flush_eob()
+                wtr.restart(rst_idx)
+                rst_idx += 1
+            blk = arr[u // bw, u % bw]
+            if ah == 0:  # AC first: sign-preserving point transform |v| >> Al
+                vals = []
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    a = abs(v) >> al
+                    vals.append(a if v >= 0 else -a)
+                last = -1
+                for idx, v in enumerate(vals):
+                    if v:
+                        last = idx
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for idx in range(last + 1):
+                    v = vals[idx]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        wtr.put(*ac_codes[0xF0])
+                        run -= 16
+                    s = abs(v).bit_length()
+                    wtr.put(*ac_codes[(run << 4) | s])
+                    wtr.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < len(vals) - 1:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            else:  # AC refinement (T.81 G.1.2.3 / the libjpeg jcphuff shape)
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = 0  # 1 + index of the last NEWLY-significant coefficient
+                for idx, a in enumerate(absv):
+                    if a == 1:
+                        eob = idx + 1
+                run = 0
+                cur: list[int] = []  # this block's bits since its last symbol
+                for idx, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and idx < eob:
+                        flush_eob()
+                        wtr.put(*ac_codes[0xF0])
+                        run -= 16
+                        for bit in cur:
+                            wtr.put(bit, 1)
+                        cur = []
+                    if a > 1:  # history-nonzero: buffer its correction bit
+                        cur.append(a & 1)
+                        continue
+                    flush_eob()  # newly significant: (run, 1) + sign bit
+                    wtr.put(*ac_codes[(run << 4) | 1])
+                    wtr.put(1 if int(blk[ss + idx]) > 0 else 0, 1)
+                    for bit in cur:
+                        wtr.put(bit, 1)
+                    cur = []
+                    run = 0
+                if run > 0 or cur:
+                    eobrun += 1
+                    eob_bits.extend(cur)
+                    if eobrun == 0x7FFF or len(eob_bits) > 900:
+                        flush_eob()
+        flush_eob()
+
+    import struct as _struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    n_qt = 1 if ncomp == 1 else 2
+    for tq in range(n_qt):
+        out += seg(0xDB, bytes([tq]) + bytes([1] * 64))
+    sof = bytes([8]) + _struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (hi, vi) in enumerate(factors):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for th in range(n_qt):
+        out += seg(0xC4, bytes([th]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        out += seg(0xC4, bytes([0x10 | th]) + bytes(_JPEG_ACP_BITS) + bytes(_JPEG_ACP_VALS))
+    if restart_interval:
+        out += seg(0xDD, _struct.pack(">H", restart_interval))
+
+    def sos(comps: list[int], ss: int, se: int, ah: int, al: int, body_fn) -> None:
+        hdr = bytes([len(comps)])
+        for ci in comps:
+            t = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (t << 4) | t])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.extend(seg(0xDA, hdr))
+        wtr = _JpegBitWriter()
+        body_fn(wtr)
+        out.extend(wtr.flush())
+
+    allc = list(range(ncomp))
+    sos(allc, 0, 0, 0, 1, lambda wt: dc_scan(wt, 0, 1))
+    sos([0], 1, 5, 0, 2, lambda wt: ac_scan(wt, 0, 1, 5, 0, 2))
+    sos([0], 6, 63, 0, 2, lambda wt: ac_scan(wt, 0, 6, 63, 0, 2))
+    if ncomp == 3:
+        sos([1], 1, 63, 0, 1, lambda wt: ac_scan(wt, 1, 1, 63, 0, 1))
+        sos([2], 1, 63, 0, 1, lambda wt: ac_scan(wt, 2, 1, 63, 0, 1))
+    sos(allc, 0, 0, 1, 0, lambda wt: dc_scan(wt, 1, 0))
+    sos([0], 1, 63, 2, 1, lambda wt: ac_scan(wt, 0, 1, 63, 2, 1))
+    sos([0], 1, 63, 1, 0, lambda wt: ac_scan(wt, 0, 1, 63, 1, 0))
+    if ncomp == 3:
+        sos([1], 1, 63, 1, 0, lambda wt: ac_scan(wt, 1, 1, 63, 1, 0))
+        sos([2], 1, 63, 1, 0, lambda wt: ac_scan(wt, 2, 1, 63, 1, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def wav_encode(sample_rate: int, channels: int, samples: list[int]) -> bytes:
     """Pure-stdlib 16-bit PCM WAV writer (RIFF/WAVE/fmt/data), independent of
     the operator-side decoder.  `samples` are interleaved int16 frames."""
@@ -739,7 +1013,7 @@ class MediaCorpus:
 
 def generate_media_corpus(
     n_images: int = 48, seed: int = 11, n_audio: int = 9, n_video: int = 6,
-    n_jpeg: int = 12,
+    n_jpeg: int = 12, n_jpeg_prog: int = 6,
 ) -> MediaCorpus:
     """Seeded media table: PNGs of varied size (5-24 px, deliberately NOT
     multiples of the thumbnail dims so resize bins are uneven), channel
@@ -815,50 +1089,64 @@ def generate_media_corpus(
     # cell YCbCr via the public JFIF formula — independently of the
     # operator-side decoder.
     jfif = (1.402, 0.344136, 0.714136, 1.772)
-    for i in range(n_jpeg):
-        label = MEDIA_LABELS[i % len(MEDIA_LABELS)]
-        mode, sub = [("gray", "444"), ("color", "444"), ("color", "420"), ("color", "422")][i % 4]
-        w, h = rng.randint(10, 40), rng.randint(10, 40)
-        cell_w, cell_h = {"444": (8, 8), "420": (16, 16), "422": (16, 8)}[sub]
-        ncx, ncy = -(-w // cell_w), -(-h // cell_h)
-        cells = {}
-        for cy in range(ncy):
-            for cx in range(ncx):
-                if label == "gradient":
-                    yv = (cx * 255 // max(ncx - 1, 1) + 5 * cy) % 256
-                    cb, cr = (40 + 37 * cx) % 256, (60 + 53 * cy) % 256
-                elif label == "checker":
-                    yv = 230 if (cx + cy) % 2 == 0 else 25
-                    cb, cr = (190, 70) if (cx + cy) % 2 == 0 else (70, 190)
-                else:
-                    yv, cb, cr = rng.randrange(256), rng.randrange(256), rng.randrange(256)
-                cells[(cx, cy)] = (yv, cb, cr)
-        yp, cbp, crp = bytearray(w * h), bytearray(w * h), bytearray(w * h)
-        for y in range(h):
-            for x in range(w):
-                yv, cb, cr = cells[(x // cell_w, y // cell_h)]
-                yp[y * w + x], cbp[y * w + x], crp[y * w + x] = yv, cb, cr
-        mid = f"jpg{i:03d}"
-        if mode == "gray":
-            payload = jpeg_encode(w, h, [bytes(yp)])
-            pixels[mid] = (w, h, 1, bytes(yp))
-        else:
-            payload = jpeg_encode(w, h, [bytes(yp), bytes(cbp), bytes(crp)], subsampling=sub)
-            rgb = bytearray(w * h * 3)
-            kr, kgb, kgr, kb = jfif
+    # round 5: a second batch of mosaic rows encoded PROGRESSIVE (SOF2,
+    # `jpeg_encode_progressive`'s full 10-scan script) — same solid-cell
+    # construction, so the expected pixels are identical by-construction
+    # math and the driver query value-checks the multi-scan entropy path.
+    # Drawn from `rng` after the baseline batch (append-only discipline).
+    batches = [(n_jpeg, "jpg", jpeg_encode, 0)]
+    if n_jpeg_prog:
+        # restart_interval=2 on the progressive batch also exercises the
+        # per-scan restart resets (DC predictors + EOB runs)
+        batches.append((n_jpeg_prog, "jpp", jpeg_encode_progressive, 2))
+    for n_batch, prefix, encode, ri in batches:
+        for i in range(n_batch):
+            label = MEDIA_LABELS[i % len(MEDIA_LABELS)]
+            mode, sub = [("gray", "444"), ("color", "444"), ("color", "420"), ("color", "422")][i % 4]
+            w, h = rng.randint(10, 40), rng.randint(10, 40)
+            cell_w, cell_h = {"444": (8, 8), "420": (16, 16), "422": (16, 8)}[sub]
+            ncx, ncy = -(-w // cell_w), -(-h // cell_h)
+            cells = {}
+            for cy in range(ncy):
+                for cx in range(ncx):
+                    if label == "gradient":
+                        yv = (cx * 255 // max(ncx - 1, 1) + 5 * cy) % 256
+                        cb, cr = (40 + 37 * cx) % 256, (60 + 53 * cy) % 256
+                    elif label == "checker":
+                        yv = 230 if (cx + cy) % 2 == 0 else 25
+                        cb, cr = (190, 70) if (cx + cy) % 2 == 0 else (70, 190)
+                    else:
+                        yv, cb, cr = rng.randrange(256), rng.randrange(256), rng.randrange(256)
+                    cells[(cx, cy)] = (yv, cb, cr)
+            yp, cbp, crp = bytearray(w * h), bytearray(w * h), bytearray(w * h)
             for y in range(h):
                 for x in range(w):
                     yv, cb, cr = cells[(x // cell_w, y // cell_h)]
-                    for c, val in enumerate(
-                        (
-                            yv + kr * (cr - 128),
-                            yv - kgb * (cb - 128) - kgr * (cr - 128),
-                            yv + kb * (cb - 128),
-                        )
-                    ):
-                        rgb[(y * w + x) * 3 + c] = min(255, max(0, round(val)))
-            pixels[mid] = (w, h, 3, bytes(rgb))
-        rows.append((mid, "image", payload, "image/jpeg", w, h, None, label))
+                    yp[y * w + x], cbp[y * w + x], crp[y * w + x] = yv, cb, cr
+            mid = f"{prefix}{i:03d}"
+            if mode == "gray":
+                payload = encode(w, h, [bytes(yp)], restart_interval=ri)
+                pixels[mid] = (w, h, 1, bytes(yp))
+            else:
+                payload = encode(
+                    w, h, [bytes(yp), bytes(cbp), bytes(crp)],
+                    subsampling=sub, restart_interval=ri,
+                )
+                rgb = bytearray(w * h * 3)
+                kr, kgb, kgr, kb = jfif
+                for y in range(h):
+                    for x in range(w):
+                        yv, cb, cr = cells[(x // cell_w, y // cell_h)]
+                        for c, val in enumerate(
+                            (
+                                yv + kr * (cr - 128),
+                                yv - kgb * (cb - 128) - kgr * (cr - 128),
+                                yv + kb * (cb - 128),
+                            )
+                        ):
+                            rgb[(y * w + x) * 3 + c] = min(255, max(0, round(val)))
+                pixels[mid] = (w, h, 3, bytes(rgb))
+            rows.append((mid, "image", payload, "image/jpeg", w, h, None, label))
     rows.append(("bad000", "image", b"not a png at all", "image/png", None, None, None, "garbage"))
     rows.append(("bad002", "image", b"\xff\xd8\xff\xdbtruncated jpeg", "image/jpeg", None, None, None, "garbage"))
     rows.append(("bad001", "image", _PNG_SIG + b"\x00\x00truncated", "image/png", None, None, None, "garbage"))

@@ -46,9 +46,10 @@ def test_png_decode_roundtrips_every_filter_and_layout():
     """Decoder vs independent encoder: all five scanline filters x all four
     channel layouts roundtrip to the exact source samples."""
     c = generate_media_corpus(n_images=48, seed=11)
+    mime = {r[0]: r[3] for r in c.rows}
     layouts = set()
     for mid, (w, h, ch, pix) in c.pixels.items():
-        if mid.startswith("jpg"):  # JPEG rows have their own roundtrip test
+        if mime[mid] != "image/png":  # JPEG rows have their own roundtrip test
             continue
         payload = dict((r[0], r[2]) for r in c.rows)[mid]
         assert png_decode(payload) == (w, h, ch, pix), mid
@@ -142,7 +143,7 @@ def test_image_channel_stats_matches_generation_pixels(spark):
     }
     for mid, (w, h, ch, pix) in corpus.pixels.items():
         r = out[mid]
-        fmt = "jpeg" if mid.startswith("jpg") else "png"
+        fmt = "jpeg" if mid.startswith(("jpg", "jpp")) else "png"
         assert (r["format"], r["width"], r["height"], r["channels"]) == (fmt, w, h, ch)
         assert r["mean_all"] == round(sum(pix) / (w * h * ch), 6)
         assert r["mean_c0"] == round(sum(pix[0::ch]) / (w * h), 6)
@@ -577,36 +578,73 @@ def test_jpeg_restart_markers_and_dims():
     assert _jpeg_dimensions(rst) == (w, h) == (a[0], a[1])
 
 
-def test_jpeg_decode_rejects_progressive_and_mutations():
-    """Progressive SOF2 returns None (codec seam, never raises); seeded
-    mutations over a valid baseline stream never raise (the corrupt-shard
-    contract, same fuzz shape as the PNG/WAV/Y4M decoders)."""
+def test_jpeg_decode_progressive_parity_and_mutations():
+    """A real progressive (SOF2) encode of the same planes decodes
+    BIT-IDENTICALLY to the baseline encode (both encoders share the same
+    coefficient math, so any conforming decoder must agree); a baseline
+    stream merely RELABELED SOF2 is invalid per T.81 (a DC scan must have
+    Se=0) and returns None; seeded mutations over both stream kinds never
+    raise (the corrupt-shard contract, same fuzz shape as PNG/WAV/Y4M)."""
     import random
 
     from ontology_pipeline_spark.operators.multimodal import jpeg_decode
-    from ontology_pipeline_spark.synth import jpeg_encode
+    from ontology_pipeline_spark.synth import jpeg_encode, jpeg_encode_progressive
 
     w, h = 19, 14
     yp = bytes(((x // 8) * 50 + 40) % 256 for y in range(h) for x in range(w))
     base = jpeg_encode(w, h, [yp])
     assert jpeg_decode(base) is not None
-    prog = bytearray(base)
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    assert jpeg_decode(bytes(prog)) is None
+    prog = jpeg_encode_progressive(w, h, [yp])
+    assert b"\xff\xc2" in prog and jpeg_decode(prog) == jpeg_decode(base)
+    relabeled = bytearray(base)
+    i = relabeled.find(b"\xff\xc0")
+    relabeled[i + 1] = 0xC2  # SOF0 -> SOF2: now an invalid progressive stream
+    assert jpeg_decode(bytes(relabeled)) is None
     rng = random.Random(99)
-    for _ in range(300):
-        b = bytearray(base)
-        op = rng.randrange(3)
-        if op == 0:
-            for _k in range(rng.randint(1, 8)):
-                b[rng.randrange(len(b))] = rng.randrange(256)
-        elif op == 1:
-            b = b[: rng.randrange(len(b))]
-        else:
-            at = rng.randrange(len(b))
-            b[at:at] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 32)))
-        jpeg_decode(bytes(b))  # any return is fine; raising is the failure
+    for src in (base, prog):
+        for _ in range(300):
+            b = bytearray(src)
+            op = rng.randrange(3)
+            if op == 0:
+                for _k in range(rng.randint(1, 8)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op == 1:
+                b = b[: rng.randrange(len(b))]
+            else:
+                at = rng.randrange(len(b))
+                b[at:at] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 32)))
+            jpeg_decode(bytes(b))  # any return is fine; raising is the failure
+
+
+def test_jpeg_progressive_matrix_matches_baseline():
+    """Every (size x components x subsampling x restart x content) cell:
+    progressive and baseline encodes of identical planes decode to identical
+    pixels — exercising all T.81 G.2 scan kinds the encoder's scan script
+    emits (spectral selection, successive approximation, EOB runs, ZRL,
+    refinement correction bits, restart-marker resets)."""
+    import random
+
+    from ontology_pipeline_spark.operators.multimodal import jpeg_decode
+    from ontology_pipeline_spark.synth import jpeg_encode, jpeg_encode_progressive
+
+    rng = random.Random(1234)
+    for w, h in [(8, 8), (24, 16), (17, 13), (33, 9)]:
+        for ncomp in (1, 3):
+            for sub in ("444", "420", "422") if ncomp == 3 else ("444",):
+                for ri in (0, 3):
+                    for content in ("grad", "noise"):
+                        if content == "grad":
+                            planes = [
+                                bytes((x * 3 + y * 5 + c * 17) % 256 for y in range(h) for x in range(w))
+                                for c in range(ncomp)
+                            ]
+                        else:
+                            planes = [bytes(rng.randrange(256) for _ in range(w * h)) for c in range(ncomp)]
+                        base = jpeg_encode(w, h, planes, subsampling=sub, restart_interval=ri)
+                        prog = jpeg_encode_progressive(w, h, planes, subsampling=sub, restart_interval=ri)
+                        db, dp = jpeg_decode(base), jpeg_decode(prog)
+                        assert db is not None
+                        assert dp == db, (w, h, ncomp, sub, ri, content)
 
 
 def test_jpeg_grayscale_ignores_declared_sampling_factors():
@@ -630,43 +668,61 @@ def test_jpeg_grayscale_ignores_declared_sampling_factors():
 
 
 def test_jpeg_unsupported_reason_distinguishes_needs_codec_from_corrupt(spark):
-    """A VALID progressive JPEG raises at the featurize codec seam (like
-    ISO-BMFF) instead of silently yielding a NULL row, while corrupt JPEG
-    bytes still classify as corrupt -> NULL (ADVICE r3)."""
+    """A VALID arithmetic-coded JPEG raises at the featurize codec seam
+    (like ISO-BMFF) instead of silently yielding a NULL row, while corrupt
+    JPEG bytes still classify as corrupt -> NULL (ADVICE r3).  Huffman
+    progressive (SOF2) is NO LONGER a codec gap: a valid progressive stream
+    featurizes to the same features as its baseline twin."""
     import pytest
 
     from ontology_pipeline_spark.operators.multimodal import (
         extract_media_features,
         jpeg_unsupported_reason,
     )
-    from ontology_pipeline_spark.synth import jpeg_encode
+    from ontology_pipeline_spark.synth import jpeg_encode, jpeg_encode_progressive
 
     w, h = 19, 14
     yp = bytes(((x // 8) * 50 + 40) % 256 for y in range(h) for x in range(w))
     base = jpeg_encode(w, h, [yp])
     assert jpeg_unsupported_reason(base) is None
-    prog = bytearray(base)
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2
-    assert jpeg_unsupported_reason(bytes(prog)) == "progressive"
+    prog = jpeg_encode_progressive(w, h, [yp])
+    assert jpeg_unsupported_reason(prog) is None  # SOF2 decodes since r5
+    # a baseline stream RELABELED SOF2 is supported-frame-type but invalid
+    # entropy data: reason None, decode None -> NULL row (corrupt path)
+    relabeled = bytearray(base)
+    i = relabeled.find(b"\xff\xc0")
+    relabeled[i + 1] = 0xC2
+    assert jpeg_unsupported_reason(bytes(relabeled)) is None
     arith = bytearray(base)
     arith[i + 1] = 0xC9
     assert jpeg_unsupported_reason(bytes(arith)) == "arithmetic-coded"
+    lossless = bytearray(base)
+    lossless[i + 1] = 0xC3
+    assert jpeg_unsupported_reason(bytes(lossless)) == "lossless"
+    diffprog = bytearray(base)
+    diffprog[i + 1] = 0xC6
+    assert jpeg_unsupported_reason(bytes(diffprog)) == "differential-progressive"
     # truncated/garbled streams are corrupt, not needs-codec
-    assert jpeg_unsupported_reason(base[: len(base) // 2] ) is None or isinstance(
-        jpeg_unsupported_reason(base[: len(base) // 2]), str
-    )
     assert jpeg_unsupported_reason(b"\xff\xd8\x00\x00garbage") is None
     df = spark.createDataFrame(
-        [("prog", "image", bytes(prog)), ("corrupt", "image", b"\xff\xd8\x00\x00garbage")],
+        [
+            ("base", "image", base),
+            ("prog", "image", prog),
+            ("relabeled", "image", bytes(relabeled)),
+            ("corrupt", "image", b"\xff\xd8\x00\x00garbage"),
+        ],
+        "media_id string, kind string, payload binary",
+    )
+    out = {r["media_id"]: r["feature"] for r in extract_media_features(df, stub=False).collect()}
+    assert out["prog"] == out["base"] and out["base"] is not None
+    assert out["relabeled"] is None and out["corrupt"] is None
+    bad = df.limit(0).sparkSession.createDataFrame(
+        [("arith", "image", bytes(arith))],
         "media_id string, kind string, payload binary",
     )
     with pytest.raises(Exception) as ei:
-        extract_media_features(df, stub=False).collect()
-    assert "progressive" in str(ei.value)
-    corrupt_only = df.filter("media_id = 'corrupt'")
-    out = {r["media_id"]: r["feature"] for r in extract_media_features(corrupt_only, stub=False).collect()}
-    assert out["corrupt"] is None
+        extract_media_features(bad, stub=False).collect()
+    assert "arithmetic" in str(ei.value)
 
 
 def test_bmff_metadata_walk_roundtrips_generated_boxes():

@@ -255,3 +255,96 @@ def test_replay_duplicated_span_stats_matches_operator(spark):
     assert got == want
     by_id = dict((t[0], t) for t in got)
     assert by_id[1][4] == 0  # canonical owner (least (doc_id, pos)) keeps it
+
+
+@st.composite
+def _boilerplate_corpus(draw):
+    """Documents over a small vocab with a shared boilerplate run injected
+    into a random subset at random offsets — the corpus shape Lee-et-al
+    substring dedup targets.  Some docs carry irregular whitespace so the
+    untouched-docs-keep-bytes property is actually exercised."""
+    vocab = [f"w{k}" for k in range(12)]
+    boiler = draw(
+        st.lists(st.sampled_from(vocab), min_size=4, max_size=7).map(tuple)
+    )
+    n_docs = draw(st.integers(min_value=2, max_value=7))
+    docs = []
+    for i in range(n_docs):
+        toks = draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=18))
+        if draw(st.booleans()):
+            at = draw(st.integers(min_value=0, max_value=len(toks)))
+            toks[at:at] = list(boiler)
+        sep = draw(st.sampled_from([" ", "  ", "\t", " \n "]))
+        docs.append((i, sep.join(toks)))
+    return docs
+
+
+@settings(max_examples=12, deadline=None)
+@given(_boilerplate_corpus())
+def test_drop_duplicated_spans_matches_canonical_owner_oracle(spark, corpus):
+    """VERDICT r4 #7: detection and removal are tied together by a pure-
+    Python recomputation of the canonical-owner rule on a randomized
+    boilerplate corpus — every non-canonical flagged gram position falls
+    inside a removed span, canonical owners keep byte-identical text, and
+    the rewritten text/drop counts equal the oracle exactly."""
+    from ontology_pipeline_spark.operators.dedup import (
+        drop_duplicated_spans,
+        duplicated_spans,
+    )
+
+    n, min_docs = 3, 2
+    # ---- pure-Python oracle (gram STRINGS, not hashes) -----------------
+    toks_low = {i: t.lower().split() for i, t in corpus}
+    occurrences: dict[tuple, list[tuple[int, int]]] = {}
+    for i, tl in toks_low.items():
+        for pos in range(max(len(tl) - n + 1, 0)):
+            occurrences.setdefault(tuple(tl[pos : pos + n]), []).append((i, pos))
+    doomed: dict[int, set[int]] = {i: set() for i, _ in corpus}
+    flagged: dict[int, set[int]] = {i: set() for i, _ in corpus}
+    for occ in occurrences.values():
+        if len({d for d, _ in occ}) < min_docs:
+            continue
+        canon = min(occ)
+        for d, p in occ:
+            flagged[d].add(p)
+            if (d, p) != canon:
+                doomed[d].add(p)
+
+    def merge(positions: set[int]) -> list[tuple[int, int]]:
+        spans: list[tuple[int, int]] = []
+        for p in sorted(positions):
+            if spans and p <= spans[-1][1]:  # operator rule: pos > prev max end starts a new span
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + n))
+            else:
+                spans.append((p, p + n))
+        return spans
+
+    expect = {}
+    for i, text in corpus:
+        spans = merge(doomed[i])
+        if not spans:
+            expect[i] = (text, 0)
+            continue
+        orig = text.split()
+        kept = [
+            t for k, t in enumerate(orig)
+            if not any(s <= k < e for s, e in spans)
+        ]
+        expect[i] = (" ".join(kept), len(orig) - len(kept))
+
+    docs = spark.createDataFrame(list(corpus), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+        for r in drop_duplicated_spans(docs, n=n, min_docs=min_docs).collect()
+    }
+    assert got == expect
+    # detection ties in: every doomed position sits inside a DETECTED span
+    # (detection flags canonical occurrences too, so spans may be wider)
+    det = {}
+    for r in duplicated_spans(docs, n=n, min_docs=min_docs).collect():
+        det.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for i, _ in corpus:
+        for p in doomed[i]:
+            assert any(s <= p and p + n <= e for s, e in det.get(i, []))
+        # and detection == the same merge over ALL flagged positions
+        assert sorted(det.get(i, [])) == merge(flagged[i])
