@@ -255,27 +255,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_dedup_probe"] = incremental_dedup_probe
 
-    def user_sessions(spark, sf):
-        """Gap-based sessionization (30-min inactivity) via window functions:
-        lag -> new-session flag -> per-user session count."""
-        e = _t(spark, sf, "events")
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        # microsecond precision: SECOND-granularity diffs are ambiguous on
-        # microsecond timestamps (Spark truncates elapsed seconds, DuckDB
-        # counts boundary crossings — a 1800.9 s gap classifies differently);
-        # at full precision both engines compute the identical integer
-        gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
-        is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
-        return (
-            e.withColumn("_new", is_new)
-            .groupBy("user_id")
-            .agg(
-                F.sum("_new").cast("long").alias("n_sessions"),
-                F.count(F.lit(1)).alias("n_events"),
+    # (user_sessions retired in round 5: the driver checks at most 50
+    # queries, and its lag-window shape is covered by latest_event_per_user
+    # (ranking window) + the temporal as-of/range joins; gap-sessionization
+    # itself stays pytest-covered.  Freed the slot for ingest_shard_summary
+    # — VERDICT r4's "no new operator without a driver row" policy applied
+    # to plans/ingest.py.)
+
+    def ingest_shard_summary(spark, sf):
+        """The incremental ingest COMPOSITION (plans/ingest.py) gated
+        end-to-end: split the documents table deterministically by
+        xxhash64(doc_id) pmod 2 into two shards, ingest them in order
+        against a fresh on-disk state store (gates -> exact vs persisted
+        fingerprints -> intra-shard MinHash clusters -> cross-shard probe
+        vs the persisted band index -> commit state + lineage), then read
+        back the COMMITTED state: one row per surviving (shard_id, doc_id)
+        plus one lineage row per shard with the stage counters.  Exercises
+        the full commit protocol (dynamic partition overwrite + lineage
+        gate) through the same store the crash/resume tests use.  Oracle:
+        pure-Python sequential replay of both ingests
+        (scripts/golden_replay.py:replay_ingest — shared minhash_coeffs
+        schedule, Murmur3 band buckets, committed-state accumulation).
+        Reference semantic anchor: resume/merge at
+        /root/reference/src/extractor.py:46-104, here at shard granularity."""
+        import tempfile
+
+        from ontology_pipeline_spark.plans.ingest import ParquetStateStore, ingest_shard
+
+        docs = _t(spark, sf, "documents")
+        part = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(2))
+        store = ParquetStateStore(tempfile.mkdtemp(prefix="ingest_state_"))
+        for i in (0, 1):
+            ingest_shard(
+                spark,
+                docs.filter(part == F.lit(i)),
+                shard_id=f"shard_{i:03d}",
+                store=store,
+            )
+        counters = ["total_docs", "exact_survivors", "intra_survivors", "new_docs"]
+        surv = (
+            spark.read.parquet(store.documents_path)
+            .join(store.committed_shards(spark), "shard_id", "left_semi")
+            .select(
+                F.lit("survivor").alias("kind"),
+                "shard_id",
+                "doc_id",
+                *[F.lit(None).cast("long").alias(c) for c in counters],
             )
         )
+        lineage = store.read_lineage(spark).select(
+            F.lit("lineage").alias("kind"),
+            "shard_id",
+            F.lit(None).cast("long").alias("doc_id"),
+            *counters,
+        )
+        return surv.unionByName(lineage)
 
-    q["user_sessions"] = user_sessions
+    q["ingest_shard_summary"] = ingest_shard_summary
 
     def revenue_rollup(spark, sf):
         """Grouping-sets breadth: ROLLUP (nation, order year) with exact
@@ -1310,19 +1346,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """
 
-    o["user_sessions"] = """
-        WITH g AS (
-            SELECT user_id,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                             OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800 * 1000000
-                        THEN 1 ELSE 0 END AS is_new
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        )
-        SELECT user_id, cast(sum(is_new) AS BIGINT) AS n_sessions,
-               count(*) AS n_events
-        FROM g GROUP BY user_id
-    """
+    # (user_sessions oracle retired with the query in round 5 — slot freed
+    # for ingest_shard_summary, whose golden VALUES oracle lives in
+    # golden_approx.py like the other replayed queries.)
 
     o["revenue_rollup"] = """
         SELECT n_name, cast(year(o_orderdate) AS BIGINT) AS o_year,

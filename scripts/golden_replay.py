@@ -314,6 +314,100 @@ def replay_incremental_dedup(
     ]
 
 
+def replay_ingest(
+    docs, mod=2, lang="en", min_quality=0.5,
+    num_hashes=32, bands=8, shingle_n=2, seed=42, threshold=0.8,
+):
+    """Sequential replay of the ingest_shard_summary query: documents split
+    by xxhash64(doc_id) pmod `mod` into shards ingested in order via
+    plans.ingest.ingest_shard — per shard: gates (lang-id + quality floor,
+    same rules as replay_curation) -> exact_dedup_against the COMMITTED
+    fingerprint set (intra-shard min-id dedup, then drop fps already seen)
+    -> intra-shard minhash cluster drop -> cross-shard probe vs the
+    COMMITTED band index -> commit survivors' fps + signatures.  Returns
+    ('survivor', shard_id, doc_id, None...) rows plus one
+    ('lineage', shard_id, None, total, exact, intra, new) row per shard."""
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    rows_per_band = num_hashes // bands
+
+    def norm(t):
+        return _WS.sub(" ", t.strip(" ").lower())
+
+    def band_keys(sig):
+        return [
+            (b, murmur3_long_array(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            for b in range(bands)
+        ]
+
+    shards: dict[int, list] = {i: [] for i in range(mod)}
+    for d, t in docs:
+        shards[xxh64_long(d) % mod].append((d, t))
+
+    hist_fps: set = set()
+    hist_index: dict[tuple, list] = {}  # band key -> [(doc_id, sig)]
+    out = []
+    for i in range(mod):
+        shard_id = f"shard_{i:03d}"
+        rows = shards[i]
+        total = len(rows)
+        gated = [
+            (d, t)
+            for d, t in rows
+            if replay_lang_id(t) == lang and replay_quality(t) >= min_quality
+        ]
+        byfp: dict[str, int] = {}
+        for d, t in gated:
+            fp = norm(t)
+            if fp not in byfp or d < byfp[fp]:
+                byfp[fp] = d
+        keep = {d for fp, d in byfp.items() if fp not in hist_fps}
+        exact_docs = [(d, t) for d, t in gated if d in keep]
+        n_exact = len(exact_docs)
+
+        clusters = replay_dedup_clusters(
+            exact_docs, num_hashes, bands, shingle_n, seed, threshold
+        )
+        drops = {d for d, rep in clusters if d != rep}
+        intra_docs = [(d, t) for d, t in exact_docs if d not in drops]
+        n_intra = len(intra_docs)
+
+        cross_drop = set()
+        for d, t in intra_docs:
+            sig = minhash_signature(t, num_hashes, shingle_n, coeffs)
+            if sig is None:
+                continue
+            seen_cand = set()
+            for key in band_keys(sig):
+                for hd, hsig in hist_index.get(key, ()):
+                    if hd in seen_cand:
+                        continue
+                    seen_cand.add(hd)
+                    agree = sum(1 for x, y in zip(sig, hsig) if x == y)
+                    if spark_round(agree / float(num_hashes), 6) >= threshold:
+                        cross_drop.add(d)
+        survivors = [(d, t) for d, t in intra_docs if d not in cross_drop]
+
+        for d, t in survivors:
+            hist_fps.add(norm(t))
+            sig = minhash_signature(t, num_hashes, shingle_n, coeffs)
+            if sig is not None:
+                for key in band_keys(sig):
+                    hist_index.setdefault(key, []).append((d, sig))
+
+        out.extend(
+            ("survivor", shard_id, d, None, None, None, None)
+            for d, _t in survivors
+        )
+        out.append(
+            ("lineage", shard_id, None, total, n_exact, n_intra, len(survivors))
+        )
+    return out
+
+
 def replay_dedup_clusters(docs, num_hashes=32, bands=8, shingle_n=2, seed=42, threshold=0.8):
     """Union-find over the replayed LSH pairs; cluster id = min member."""
     pairs = replay_minhash_near_dups(docs, num_hashes, bands, shingle_n, seed, threshold)
@@ -833,6 +927,15 @@ def main() -> None:
         f"incremental dedup: {n_surv} shard survivors, "
         f"{len(incr) - n_surv} cross pairs"
     )
+    ingest = replay_ingest(docs)
+    print(
+        "ingest: "
+        + "; ".join(
+            f"{r[1]} total={r[3]} exact={r[4]} intra={r[5]} new={r[6]}"
+            for r in ingest
+            if r[0] == "lineage"
+        )
+    )
     doc_src = con.execute(
         f"SELECT doc_id, source FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
@@ -882,6 +985,11 @@ def main() -> None:
         "dedup_clusters": _sql_values(clusters, "doc_id, cluster_id"),
         "incremental_dedup_probe": _sql_values(
             incr, "kind, new_id, indexed_id, est_jaccard"
+        ),
+        "ingest_shard_summary": _sql_values(
+            ingest,
+            "kind, shard_id, doc_id, total_docs, exact_survivors, "
+            "intra_survivors, new_docs",
         ),
         "doc_sample_methods": _sql_values(sample_methods, "method, doc_id, source"),
         "stratified_doc_sample": _sql_values(ssamp, "source, doc_id"),
