@@ -496,10 +496,13 @@ def minhash_index(
     Write it partitioned by ``band`` and bucketed by ``bucket`` so probes
     become partition-pruned co-located joins; append each ingested shard's
     rows after it survives curation.  The signature is carried per band
-    row so a probe verifies candidates without a second join back to a
-    signature table (at extreme scale, split into the slim band table +
-    signature table `minhash_lsh_pairs` uses internally and trade the
-    extra join for the bands-times smaller index)."""
+    row so the index stays a single self-contained table; the probe joins
+    only the slim (band, bucket, doc_id) projection for collision
+    detection (column pruning keeps the heavy signature array out of that
+    shuffle) and reads signatures back from the band-0 rows for the
+    DEDUPED candidate set.  At extreme scale, store the signature once in
+    a separate doc_id-keyed table instead and the index shrinks by the
+    band factor."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = (
@@ -524,6 +527,7 @@ def minhash_probe_near_dups(
     shingle_n: int = 2,
     seed: int = 42,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: (new_id, indexed_id, est_jaccard)
     for every new-shard document whose estimated Jaccard against an
@@ -536,7 +540,23 @@ def minhash_probe_near_dups(
     prebuilt :func:`minhash_index`, met through a (band, bucket) equi-join
     that turns into partition pruning + co-located lookup on a
     partitioned/bucketed index read.  Candidate space is band-collision
-    bounded, never |shard| x |history|."""
+    bounded, never |shard| x |history|.
+
+    ``max_bucket_size`` is the probe-side analog of the
+    :func:`minhash_lsh_pairs` hot-bucket cap, and it is what keeps the
+    probe O(shard) when the INDEX has grown large: a template/boilerplate
+    family whose band signature collides puts its whole population in one
+    index bucket, and every shard member of the family then meets ALL of
+    them (measured: a 500k-doc templated history probed by a 135k shard
+    generates 105M candidate rows vs 26M against its 125k-doc quarter —
+    linear in history, entirely from buckets of up to 7.6k members while
+    p99.9 occupancy stays 28).  Buckets whose COMBINED shard+index
+    membership exceeds the cap are skipped on both sides (same recall
+    argument as the batch cap: a true near-dup pair collides in every
+    band with probability est^rows_per_band per band, so it is still
+    found through any colder band; a family hot in all 8 bands is exact-
+    dup territory, handled by `exact_dedup_against` first).  None
+    (default) disables the cap; golden replays assume this."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = (
@@ -548,18 +568,44 @@ def minhash_probe_near_dups(
         "doc_id",
         F.explode(band_structs(F.col("signature"), bands, rows_per_band)).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    cand = (
-        banded.join(index, ["band", "bucket"])
-        .select(
-            banded["doc_id"].alias("new_id"),
-            index["doc_id"].alias("indexed_id"),
-            index["signature"].alias("sig_old"),
+    # the unpruned index also serves the signature lookup below: a doc whose
+    # band-0 bucket is hot still needs its signature when a COLDER band
+    # produced the candidate
+    index_full = index
+    if max_bucket_size is not None:
+        # one slim (band, bucket) count over each side, hot set broadcast
+        # (tiny by construction), both sides pruned BEFORE the join —
+        # mirrors minhash_lsh_pairs' cap
+        hot = (
+            banded.select("band", "bucket")
+            .unionByName(index.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band", "bucket")
         )
-        # a pair colliding in k bands appears k times with the identical
-        # signature payload — the dedup is deterministic in value
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        index = index.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    # slim collision join (ids only), signatures attached AFTER pair dedup —
+    # the minhash_lsh_pairs structure.  Joining the index's per-band rows
+    # WITH their signature payload shuffles |history| x bands x num_hashes
+    # longs every probe (measured ~30 s extra against a 500k-doc index);
+    # the slim join shuffles ids, and sig_old comes from the index's band-0
+    # rows (every doc appears exactly once per band) keyed by the DEDUPED
+    # candidate set, which is collision-bounded.
+    cand = (
+        banded.withColumnRenamed("doc_id", "new_id")
+        .join(
+            index.select("band", "bucket", F.col("doc_id").alias("indexed_id")),
+            ["band", "bucket"],
+        )
+        .select("new_id", "indexed_id")
         .dropDuplicates(["new_id", "indexed_id"])
     )
-    cand = cand.join(
+    sig_old = index_full.filter(F.col("band") == 0).select(
+        F.col("doc_id").alias("indexed_id"), F.col("signature").alias("sig_old")
+    )
+    cand = cand.join(sig_old, "indexed_id").join(
         sigs.select(F.col("doc_id").alias("new_id"), F.col("signature").alias("sig_new")),
         "new_id",
     )

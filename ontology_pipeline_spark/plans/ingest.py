@@ -27,7 +27,10 @@ Scale notes (100 TB):
   shard_id on disk; write them bucketed by fp / (band, bucket) on a real
   cluster and the anti-join/probe become co-located lookups.
 * Only the shard is tokenized/shingled; the probe's candidate space is band
-  -collision bounded (see operators/dedup.py:minhash_probe_near_dups).
+  -collision bounded AND hot-bucket capped (``max_bucket_size`` prunes
+  template/boilerplate-family buckets on both sides before the join — the
+  piece that keeps the probe O(shard) as the index grows; see
+  operators/dedup.py:minhash_probe_near_dups).
 * Known, standard trade-off vs the batch chain: near-dup transitivity is
   not re-closed across history (a shard doc connected to history only
   THROUGH another same-shard doc that got dropped intra-shard can survive
@@ -228,6 +231,7 @@ def ingest_shard(
             bands=bands,
             shingle_n=shingle_n,
             threshold=dedup_threshold,
+            max_bucket_size=max_bucket_size,
         ).select(F.col("new_id").alias(id_col)).distinct()
         d = d.join(cross, id_col, "left_anti")
 

@@ -553,3 +553,66 @@ def test_minhash_probe_equals_full_run_cross_pairs(spark):
             new, old = (a, b) if a in shard_ids else (b, a)
             want[(new, old)] = r["est_jaccard"]
     assert probed == want and len(probed) > 0
+
+
+def test_minhash_probe_hot_bucket_cap_bounds_the_index_join(spark):
+    """Probe-side analog of test_minhash_hot_bucket_cap_bounds_the_pair_join:
+    a template family whose band signature collides puts its whole history
+    population in one index bucket, and every shard member then meets ALL of
+    them — the candidate join grows linearly with the index (measured 105M
+    candidate rows at 500k-doc history vs 26M at its quarter).  The cap must
+    drop ONLY hot-bucket candidates (combined shard+index occupancy) while
+    cross pairs in sane buckets survive, and None must stay exhaustive."""
+    from ontology_pipeline_spark.operators.dedup import (
+        minhash_index,
+        minhash_probe_near_dups,
+    )
+
+    boiler = "identical boilerplate page body repeated across the whole crawl"
+    # "the and of with" keeps the pair past the ingest plan's language gate
+    history = spark.createDataFrame(
+        [(i, boiler) for i in range(40)]
+        + [(1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa the and of with")],
+        ["doc_id", "text"],
+    )
+    shard = spark.createDataFrame(
+        [(10_000 + i, boiler) for i in range(20)]
+        + [(11_000, "alpha beta gamma delta epsilon zeta eta theta iota lambda the and of with")],
+        ["doc_id", "text"],
+    )
+    idx = minhash_index(history, shingle_n=1)
+
+    uncapped = {
+        (r["new_id"], r["indexed_id"])
+        for r in minhash_probe_near_dups(
+            shard, idx, shingle_n=1, threshold=0.5
+        ).collect()
+    }
+    assert (11_000, 1000) in uncapped
+    assert sum(1 for n, o in uncapped if n >= 10_000 and o < 40) == 20 * 40
+
+    capped = {
+        (r["new_id"], r["indexed_id"])
+        for r in minhash_probe_near_dups(
+            shard, idx, shingle_n=1, threshold=0.5, max_bucket_size=16
+        ).collect()
+    }
+    assert (11_000, 1000) in capped            # sane buckets untouched
+    assert not any(o < 40 for _n, o in capped)  # hot family dropped
+
+    # the ingest plan threads the cap through (hot shard members survive the
+    # probe stage; the family's intra-shard collapse is the cluster stage's
+    # job and the cross-shard byte-dup drop is exact_dedup_against's)
+    from ontology_pipeline_spark.plans.ingest import ParquetStateStore, ingest_shard
+
+    import tempfile
+
+    store = ParquetStateStore(tempfile.mkdtemp(prefix="cap_ingest_"))
+    ingest_shard(spark, history, store=store, shard_id="h", min_quality=0.0,
+                 dedup_threshold=0.5, shingle_n=1, max_bucket_size=16)
+    res = ingest_shard(spark, shard, store=store, shard_id="s", min_quality=0.0,
+                       dedup_threshold=0.5, shingle_n=1, max_bucket_size=16)
+    # exact dedup drops the byte-identical family regardless of the cap:
+    # only the near-dup survivor remains to be probed, and its sane bucket
+    # keeps working -> it is dropped as a cross near-dup of doc 1000
+    assert res["exact_survivors"] == 1 and res["new_docs"] == 0
