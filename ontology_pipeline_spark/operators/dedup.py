@@ -583,6 +583,9 @@ def minhash_probe_near_dups(
             .count()
             .filter(F.col("count") > max_bucket_size)
             .select("band", "bucket")
+            # pin: consumed by BOTH anti-joins — Catalyst re-evaluates the
+            # union+aggregate per consumer otherwise (multi-consumer rule)
+            .localCheckpoint(eager=False)
         )
         banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
         index = index.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
