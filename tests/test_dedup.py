@@ -616,3 +616,42 @@ def test_minhash_probe_hot_bucket_cap_bounds_the_index_join(spark):
     # only the near-dup survivor remains to be probed, and its sane bucket
     # keeps working -> it is dropped as a cross near-dup of doc 1000
     assert res["exact_survivors"] == 1 and res["new_docs"] == 0
+
+
+def test_minhash_probe_plan_keeps_signatures_out_of_the_collision_join(spark, tmp_path):
+    """Plan pin for the round-5 probe restructure (BENCH/ingest.md): the
+    collision join must scan only the slim (band, bucket, doc_id) index
+    projection — the heavy per-band signature array rides in exactly ONE
+    scan, the band-0 pushed-filter lookup that feeds candidates AFTER pair
+    dedup.  Before the restructure the payload was shuffled through the
+    join (~30 s extra per probe against a 500k-doc index)."""
+    from ontology_pipeline_spark.operators.dedup import (
+        minhash_index,
+        minhash_probe_near_dups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx_path = str(tmp_path / "idx")
+    minhash_index(docs.filter("doc_id % 2 = 0")).write.parquet(idx_path)
+    probed = minhash_probe_near_dups(
+        docs.filter("doc_id % 2 = 1"),
+        spark.read.parquet(idx_path),
+        threshold=0.8,
+        max_bucket_size=2048,
+    )
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    schemas = [
+        seg.splitlines()[0].strip()
+        for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    sig_scans = [s for s in schemas if "signature" in s]
+    slim_scans = [s for s in schemas if "signature" not in s]
+    # exactly one signature-carrying scan, and it is the band=0 lookup
+    assert len(sig_scans) == 1, plan
+    assert "EqualTo(band,0)" in plan, plan
+    # the collision-join / hot-set scans are signature-free
+    assert slim_scans, plan
